@@ -1,0 +1,26 @@
+"""Test configuration: run on CPU with 8 virtual devices.
+
+The reference cannot test multi-GPU without hardware (SURVEY.md §4); here the
+multi-chip path is exercised on a virtual 8-device CPU mesh via
+``--xla_force_host_platform_device_count`` so sharding logic is covered in CI
+without a pod.  Real-TPU runs use the driver's bench harness instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+from tpu_ec.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xEC)
