@@ -46,3 +46,24 @@ t1 = time.time()
 assert got == [oracle.scalar_mul(spec, q, c) for q, c in zip(pts, ks)], "scalar_mul mismatch"
 print(f"EC double + scalar_mul OK ({t1-t0:.2f}s incl compile)")
 print("TPU DRIVE PASSED")
+
+# -- MSM on chip
+from tpu_ec.ops.msm import msm as msm_fn
+n = 64
+pts2 = oracle.random_points(spec, n, seed=50)
+ks2 = oracle.random_scalars(spec, n, seed=51)
+out = msm_fn(spec, ops.from_affine_ints(pts2), ops.scalars_to_limbs(ks2),
+             window_size=8, num_groups=8)
+got = ops.to_affine_ints(ops.to_affine(out))[0]
+assert got == oracle.msm(spec, pts2, ks2), "MSM mismatch on TPU"
+print("MSM OK on TPU")
+
+# -- EC-FFT on chip
+from tpu_ec.ops.ec_fft import EcFftKernel
+pts3 = oracle.random_points(spec, 4, seed=52)
+P3 = ops.to_jacobian(ops.from_affine_ints(pts3))
+ek = EcFftKernel(spec)
+back = ek.radix_ec_fft(ek.radix_ec_fft(P3), inverse=True)
+assert ops.to_affine_ints(ops.to_affine(back)) == pts3, "EC-FFT roundtrip mismatch"
+print("EC-FFT OK on TPU")
+print("TPU DRIVE PASSED (full)")

@@ -1,0 +1,75 @@
+"""Distributed-op tests on the virtual 8-device CPU mesh.
+
+A capability the reference lacks entirely (it cannot test multi-GPU without
+hardware, SURVEY.md par.4): the sharded NTT / MSM paths run on
+--xla_force_host_platform_device_count=8 and are checked bit-exact against
+the single-chip kernels and the bigint oracle.
+"""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_ec.curves import oracle
+from tpu_ec.curves.params import BN254_G1
+from tpu_ec.curves.point import point_ops
+from tpu_ec.fields import BLS12_381_FR, field_ops
+from tpu_ec.ops.ntt import FftKernel, ntt_ref
+from tpu_ec.parallel import DistFftKernel, DistMultiexpKernel, make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh()
+
+
+@pytest.mark.parametrize("log_n", [6, 10])
+def test_dist_ntt_matches_oracle(mesh, log_n):
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(50 + log_n)
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << log_n)]
+    x = f.from_ints(vals)
+    got = f.to_ints(DistFftKernel(spec, mesh).radix_fft(x))
+    assert got == ntt_ref(spec, vals)
+
+
+def test_dist_intt_roundtrip(mesh):
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(60)
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << 8)]
+    x = f.from_ints(vals)
+    kern = DistFftKernel(spec, mesh)
+    back = kern.radix_fft(kern.radix_fft(x), inverse=True)
+    assert f.to_ints(back) == vals
+
+
+def test_dist_ntt_matches_single_chip(mesh):
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(61)
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << 9)]
+    x = f.from_ints(vals)
+    a = np.asarray(jax.device_get(DistFftKernel(spec, mesh).radix_fft(x)))
+    b = np.asarray(jax.device_get(FftKernel(spec).radix_fft(x)))
+    assert (a == b).all()
+
+
+def test_dist_msm(mesh):
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n = 32
+    pts = oracle.random_points(spec, n, seed=62)
+    ks = oracle.random_scalars(spec, n, seed=63)
+    out = DistMultiexpKernel(spec, mesh).multiexp(
+        ops.from_affine_ints(pts),
+        ops.scalars_to_limbs(ks),
+        window_size=8,
+        num_groups=2,
+    )
+    got = ops.to_affine_ints(ops.to_affine(out))[0]
+    assert got == oracle.msm(spec, pts, ks)

@@ -18,12 +18,21 @@ directly comparable.
 
 Carry model
 -----------
-TPU has no add-with-carry.  Carries are explicit: intermediate per-column
-accumulators live in the 32-bit headroom above the 16-bit limb payload, and a
-final length-L sequential (but batch-vectorized) carry pass normalizes.  This
-is the vectorized replacement for the PTX ``add.cc/addc/madc`` chains the
+TPU has no add-with-carry.  Carries are explicit and **log-depth**: partial
+products are summed per column (columns stay < 2^22, inside the uint32
+headroom) via an anti-diagonal reshape of the (L, L) outer product, and
+carry propagation is a Kogge-Stone carry-lookahead expressed as a single
+``lax.associative_scan`` over (generate, propagate) pairs along the limb
+axis.  This replaces the PTX ``add.cc/addc/madc`` serial chains the
 reference generates (`ag-build/src/source/template.rs:91-159`,
-`ag-build/cl/common.cl:127-248`).
+`ag-build/cl/common.cl:127-248`) with O(log L)-depth vector ops — both
+faster on the VPU and ~10x fewer HLO ops than an unrolled chain.
+
+Correctness of the lookahead requires generate/propagate disjointness:
+after folding the raw column carries (< 2^15) one limb up, a limb that
+generates (value >= 2^16) has low part <= 2^15 - 2 < 0xFFFF, so it can
+never also propagate — carries stay in {0, 1} and the scan operator
+(g2 | (p2 & g1), p2 & p1) is exact.
 
 All functions are pure jnp and can be traced under jit/vmap/shard_map or
 called inside Pallas kernels.
@@ -44,6 +53,39 @@ U32 = jnp.uint32
 
 def _const(spec_limbs: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(spec_limbs, dtype=U32)
+
+
+def _diag_sums(P: jnp.ndarray) -> jnp.ndarray:
+    """Anti-diagonal sums of a (..., L, L) tensor: out[..., k] = sum_{i+j=k}
+    P[..., i, j], shape (..., 2L-1).
+
+    Row i must be shifted right by i before a column reduction; padding each
+    row to width 2L and re-slicing the flat buffer with row stride 2L (one
+    less than the padded 2L+.. layout) realizes every shift with a single
+    pad/reshape/slice — the whole schoolbook column sum is 4 HLO ops instead
+    of L shifted adds."""
+    L = P.shape[-1]
+    batch = P.shape[:-2]
+    F = jnp.pad(P, [(0, 0)] * len(batch) + [(0, 0), (0, L)])  # (..., L, 2L)
+    flat = F.reshape(batch + (2 * L * L,))
+    G = flat[..., : L * (2 * L - 1)].reshape(batch + (L, 2 * L - 1))
+    return G.sum(axis=-2, dtype=U32)
+
+
+_KS_DTYPE = U32
+
+
+def _ks_scan(g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive Kogge-Stone scan of (generate, propagate) along the last
+    axis; returns G where G[..., i] = carry generated out of limbs <= i."""
+
+    def op(x, y):
+        gx, px = x
+        gy, py = y
+        return (gy | (py & gx), py & px)
+
+    G, _ = jax.lax.associative_scan(op, (g, p), axis=-1)
+    return G
 
 
 class FieldOps:
@@ -86,27 +128,34 @@ class FieldOps:
 
     # -- helpers ----------------------------------------------------------
 
-    def _carry(self, cols):
-        """Normalize a list of L per-column accumulators (< 2^32) into a
-        (..., L) limb array; the final carry out of column L-1 is dropped
-        (callers guarantee the true value fits in L limbs)."""
-        out = []
-        c = None
-        for i in range(self.L):
-            v = cols[i] if c is None else cols[i] + c
-            out.append(v & LIMB_MASK)
-            c = v >> LIMB_BITS
-        return jnp.stack(out, axis=-1)
+    def _normalize(self, cols):
+        """Exact base-2^16 digits of a column vector (each column < 2^31):
+        fold raw carries one limb up, then Kogge-Stone lookahead for the
+        residual 0/1 carries.  Returns ``(digits, carry_out)`` where
+        carry_out is the (sub-2^16) overflow digit past the last column."""
+        d = cols & LIMB_MASK
+        c = cols >> LIMB_BITS  # < 2^15 given cols < 2^31
+        zb = jnp.zeros_like(d[..., :1])
+        u = jnp.concatenate([d, zb], axis=-1) + jnp.concatenate([zb, c], axis=-1)
+        g = u >> LIMB_BITS  # in {0,1}: disjoint from propagate (see header)
+        p = ((u & LIMB_MASK) == LIMB_MASK).astype(U32)
+        G = _ks_scan(g, p)
+        C = jnp.concatenate([zb, G[..., :-1]], axis=-1)
+        out = (u + C) & LIMB_MASK
+        return out[..., :-1], out[..., -1]
 
     def _sub_limbs(self, a, b):
-        """(a - b) mod 2^(16L) limbwise, plus the final borrow (0/1)."""
-        out = []
-        br = jnp.uint32(0)
-        for i in range(self.L):
-            v = a[..., i] + jnp.uint32(1 << LIMB_BITS) - b[..., i] - br
-            out.append(v & LIMB_MASK)
-            br = jnp.uint32(1) - (v >> LIMB_BITS)
-        return jnp.stack(out, axis=-1), br
+        """(a - b) mod 2^(16L) limbwise, plus the final borrow (0/1),
+        via borrow-lookahead (same Kogge-Stone scan, g = a<b, p = a==b)."""
+        t = a + jnp.uint32(1 << LIMB_BITS) - b
+        d = t & LIMB_MASK
+        g = jnp.uint32(1) - (t >> LIMB_BITS)
+        p = (d == 0).astype(U32)
+        G = _ks_scan(g, p)
+        zb = jnp.zeros_like(d[..., :1])
+        B = jnp.concatenate([zb, G[..., :-1]], axis=-1)
+        out = (t - B) & LIMB_MASK
+        return out, G[..., -1]
 
     def _cond_sub_p(self, t):
         """t in [0, 2p) -> t mod p, branchless (field.cl:58-60 reduce)."""
@@ -133,12 +182,12 @@ class FieldOps:
     # -- ring ops ---------------------------------------------------------
 
     def add(self, a, b):
-        t = self._carry([a[..., i] + b[..., i] for i in range(self.L)])
+        t, _ = self._normalize(a + b)  # per-limb sums < 2^17; carry-out 0
         return self._cond_sub_p(t)
 
     def sub(self, a, b):
         d, br = self._sub_limbs(a, b)
-        wrapped = self._carry([d[..., i] + self.p[i] for i in range(self.L)])
+        wrapped, _ = self._normalize(d + self.p)
         return jnp.where((br == 1)[..., None], wrapped, d)
 
     def neg(self, a):
@@ -151,35 +200,16 @@ class FieldOps:
     def _mul_cols(self, a, b):
         """Unreduced product of two (..., L) limb batches as (..., 2L) column
         sums (each < 2L*2^16 < 2^22): column k holds sum_{i+j=k} of the 16-bit
-        lo/hi halves of a_i*b_j.  Expressed as an L-step running sum of
-        shifted vector products so the traced graph stays O(L) ops and no
-        (L, L) outer-product tensor is materialized."""
+        lo/hi halves of a_i*b_j — the schoolbook product as one outer product
+        plus two anti-diagonal reductions (see :func:`_diag_sums`)."""
         L = self.L
-        batch = a.shape[:-1]
-
-        def z(n):
-            return jnp.zeros(batch + (n,), dtype=U32)
-
-        acc = z(2 * L)
-        for i in range(L):
-            prod = a[..., i : i + 1] * b  # (..., L); 16x16 -> 32 exact
-            lo = prod & LIMB_MASK
-            hi = prod >> LIMB_BITS
-            acc = acc + jnp.concatenate([z(i), lo, z(L - i)], axis=-1)
-            acc = acc + jnp.concatenate([z(i + 1), hi, z(L - i - 1)], axis=-1)
-        return acc
-
-    def _normalize(self, cols):
-        """Serial (batch-vectorized) carry pass: columns (< 2^32) -> exact
-        16-bit limbs plus the final carry-out — the vectorized stand-in for
-        hardware add-with-carry chains (common.cl:127-248)."""
-        out = []
-        c = None
-        for i in range(cols.shape[-1]):
-            v = cols[..., i] if c is None else cols[..., i] + c
-            out.append(v & LIMB_MASK)
-            c = v >> LIMB_BITS
-        return jnp.stack(out, axis=-1), c
+        prod = a[..., :, None] * b[..., None, :]  # (..., L, L); 16x16->32 exact
+        slo = _diag_sums(prod & LIMB_MASK)  # (..., 2L-1), cols < L*2^16
+        shi = _diag_sums(prod >> LIMB_BITS)  # contributes one column up
+        zb = jnp.zeros_like(slo[..., :1])
+        return jnp.concatenate([slo, zb], axis=-1) + jnp.concatenate(
+            [zb, shi], axis=-1
+        )
 
     def mul(self, a, b):
         """Montgomery multiply: a*b*R^-1 mod p (field.cl:268-299 parity).

@@ -1,0 +1,3 @@
+from . import ntt, ec_fft, msm, density
+
+__all__ = ["ntt", "ec_fft", "msm", "density"]

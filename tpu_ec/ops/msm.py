@@ -1,0 +1,346 @@
+"""Pippenger multi-scalar multiplication (MSM / "multiexp"), TPU-native.
+
+Counterpart of the reference's MSM stack: the fork's single-launch WNAF
+bucket kernel (`ag-build/cl/multiexp.cl:62-263`), its host driver
+(`ag-cuda-ec/src/multiexp.rs:21-81`), the legacy bellman-style kernel + CPU
+window-reduction (`ag-build/cl/multiexp_backup.cl`,
+`ec-gpu-proxy/src/multiexp.rs:135-235`), and the window/work-size heuristics
+(`ec-gpu-proxy/src/multiexp.rs:42-49,245-252`).
+
+TPU reformulation
+-----------------
+The GPU kernel gives each *thread* a private bucket set and serially
+accumulates `POINT_add_mixed` over its chunk (multiexp.cl:95-119).  TPUs have
+no per-lane private state, so the bucket lattice becomes a tensor
+``buckets[group, window, slot]`` of Jacobian points and the accumulation a
+``fori_loop`` of **vectorized** steps: at step t every (group, window) lane
+gathers its current bucket, performs ONE batched `add_mixed` across all
+G x W lanes (8x128-lane friendly), and scatters back.  Within a step each
+lane touches a distinct (group, window) row, so the scatter is
+conflict-free (`unique_indices=True`).  Total point-add work is
+``n * num_windows`` — identical to the GPU algorithm, not a log-factor
+approximation.
+
+Signed digits (WNAF) follow multiexp.cl:95-118: window digits are recoded
+into [-2^(w-1), 2^(w-1)] with a carry chain, negative digits add the negated
+point (y -> -y is free, "neg_is_cheap"), halving the bucket count.  Digit 0
+is routed to a dummy slot 0 that the reduction skips — the branch-free
+replacement for the GPU's `if (ind--) { add }` skip.
+
+The triangular bucket reduction (multiexp.cl:121-131) and the cross-group /
+cross-window combines (multiexp.cl:159-197's tree aggregation; the CPU
+window-reduction at multiexp.rs:221-235) are `fori_loop`s / log-depth trees
+over the same vectorized point ops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.params import CurveSpec
+from ..curves.point import PointOps, point_ops
+from ..errors import Aborted
+
+SCALAR_BITS = 256  # Fr limb width for both supported curves (16 x 16-bit)
+
+
+# ---------------------------------------------------------------------------
+# Planning heuristics (multiexp.rs:42-49,245-252 analog, re-derived for the
+# lattice formulation: total adds = W*(n + 2*B*G), bucket memory = G*W*B*pt).
+# ---------------------------------------------------------------------------
+
+
+def default_window_size(n: int) -> int:
+    """Window bits w: balances accumulation (n adds/window) against the
+    2*2^(w-1)*G reduction adds/window.  Empirically W*(n + 2BG) is minimized
+    near w = log2(n) - 10 for G ~ 128 lanes-per-window (the same shape as the
+    reference's log2(n/work_units)+2 with its 128*CU work units)."""
+    if n <= 1:
+        return 1
+    return max(2, min(12, n.bit_length() - 11))
+
+
+def default_num_groups(n: int, window_size: int) -> int:
+    """Groups G (power of two): enough G*W lanes to fill the VPU, bounded so
+    bucket scratch stays small relative to HBM (the reference bounds scratch
+    by device memory, multiexp.rs:71-93)."""
+    num_windows = -(-SCALAR_BITS // window_size)
+    target_lanes = 4096
+    g = max(1, target_lanes // num_windows)
+    g = 1 << (g - 1).bit_length()  # round up to pow2 (tree-reduce needs it)
+    while g > 1 and g * num_windows > 4 * n:
+        g //= 2
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Digit extraction (multiexp.cl:95-118 WNAF recode, vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _window_raws(scalars: jnp.ndarray, w: int, num_windows: int) -> list[jnp.ndarray]:
+    """Unsigned base-2^w digits of (.., Ls+1)-limb scalars (zero-padded by
+    one limb); window j covers bits [j*w, (j+1)*w).  Limb offsets are static
+    per window, so this unrolls to shifts/masks only."""
+    mask = jnp.uint32((1 << w) - 1)
+    out = []
+    for j in range(num_windows):
+        lo = j * w
+        li, ofs = lo // 16, lo % 16
+        merged = scalars[..., li] | (scalars[..., li + 1] << jnp.uint32(16))
+        out.append(((merged >> jnp.uint32(ofs)) & mask).astype(jnp.int32))
+    return out
+
+
+def _recode_signed(raws: list[jnp.ndarray], w: int) -> jnp.ndarray:
+    """Carry-chain signed recode: digits in [-2^(w-1), 2^(w-1)]
+    (multiexp.cl:103-118 'neg_is_cheap' path)."""
+    half = 1 << (w - 1)
+    digits = []
+    c = jnp.zeros_like(raws[0])
+    for r in raws:
+        t = r + c
+        c = (t > half).astype(jnp.int32)
+        digits.append(t - (c << w))
+    return jnp.stack(digits, axis=-1)
+
+
+def make_digits(scalars: jnp.ndarray, w: int, num_windows: int, signed: bool) -> jnp.ndarray:
+    """(..., Ls+1) zero-padded plain-int scalar limbs -> (..., W) int32 digits."""
+    raws = _window_raws(scalars, w, num_windows)
+    if signed:
+        return _recode_signed(raws, w)
+    return jnp.stack(raws, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _tree_get(P, idx):
+    return jax.tree_util.tree_map(lambda l: l[idx], P)
+
+
+def _msm_lattice(
+    ops: PointOps,
+    points,  # affine pytree, leaves (m, G, L)
+    scalars: jnp.ndarray,  # (m, G, Ls+1) plain-int limbs, zero-padded
+    *,
+    window_size: int,
+    signed: bool,
+):
+    """One full MSM: returns a single Jacobian point (batch shape (1,))."""
+    F = ops.F
+    w = window_size
+    num_windows = -(-SCALAR_BITS // w)
+    half = 1 << (w - 1)
+    nbuckets = (half if signed else (1 << w) - 1) + 1  # slot 0 = dummy
+    m, G = scalars.shape[0], scalars.shape[1]
+    W = num_windows
+
+    gi = jnp.arange(G)[:, None]  # (G, 1)
+    wi = jnp.arange(W)[None, :]  # (1, W)
+
+    def accumulate(t, buckets):
+        A = _tree_get(points, t)  # affine (G,)
+        s = scalars[t]  # (G, Ls+1)
+        digits = make_digits(s, w, W, signed)  # (G, W)
+        slot = jnp.abs(digits) if signed else digits
+        x, y = A
+        yneg = F.neg(y)
+        bx = jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l[:, None], (G, W) + l.shape[1:]), x
+        )
+        sign = (digits < 0)[..., None] if signed else None
+
+        def pick_y(yp, yn):
+            yb = jnp.broadcast_to(yp[:, None], (G, W) + yp.shape[1:])
+            if not signed:
+                return yb
+            ynb = jnp.broadcast_to(yn[:, None], (G, W) + yn.shape[1:])
+            return jnp.where(sign, ynb, yb)
+
+        by = jax.tree_util.tree_map(pick_y, y, yneg)
+        cur = jax.tree_util.tree_map(lambda l: l[gi, wi, slot], buckets)
+        new = ops.add_mixed(cur, (bx, by))
+        # digit 0 -> slot 0 still performs the add; the dummy slot is never
+        # read by the reduction, so the work is wasted but the result exact
+        # (the GPU instead skips; a lane-predicated Pallas kernel can too).
+        return jax.tree_util.tree_map(
+            lambda l, v: l.at[gi, wi, slot].set(v, unique_indices=True),
+            buckets, new,
+        )
+
+    buckets = ops.identity_jacobian((G, W, nbuckets))
+    buckets = jax.lax.fori_loop(0, m, accumulate, buckets)
+
+    # Triangular running-sum bucket reduction (multiexp.cl:121-131):
+    # sum_{k=1..B-1} k * bucket[k], vectorized over all G*W lanes.
+    def reduce_step(i, carry):
+        running, acc = carry
+        k = nbuckets - 1 - i
+        running = ops.add(running, _tree_get(buckets, (slice(None), slice(None), k)))
+        acc = ops.add(acc, running)
+        return (running, acc)
+
+    running = ops.identity_jacobian((G, W))
+    acc = ops.identity_jacobian((G, W))
+    _, acc = jax.lax.fori_loop(0, nbuckets - 1, reduce_step, (running, acc))
+
+    # Cross-group tree reduction (replaces POINT_aggregate_chunk's in-kernel
+    # tree, multiexp.cl:159-197) — G is a power of two.
+    g = G
+    while g > 1:
+        lo = jax.tree_util.tree_map(lambda l: l[: g // 2], acc)
+        hi = jax.tree_util.tree_map(lambda l: l[g // 2 : g], acc)
+        acc = ops.add(lo, hi)
+        g //= 2
+    per_window = jax.tree_util.tree_map(lambda l: l[0], acc)  # (W,)
+
+    # Window combine, high-to-low: res = 2^w * res + S_j (the CPU-side
+    # combine of multiexp.rs:221-235, kept on device).
+    def combine(j, res):
+        def dbl(_, r):
+            return ops.double(r)
+
+        res = jax.lax.fori_loop(0, w, dbl, res)
+        Sj = jax.tree_util.tree_map(
+            lambda l: jax.lax.dynamic_slice_in_dim(l, W - 1 - j, 1, axis=0),
+            per_window,
+        )
+        return ops.add(res, Sj)
+
+    return jax.lax.fori_loop(0, W, combine, ops.identity_jacobian((1,)))
+
+
+# ---------------------------------------------------------------------------
+# Driver (FftKernel-style class, multiexp.rs:256-404 / ag-cuda-ec parity)
+# ---------------------------------------------------------------------------
+
+
+class MultiexpKernel:
+    """MSM driver bound to one curve.
+
+    ``multiexp(bases, scalars)`` is the `MultiexpKernel::multiexp` analog
+    (multiexp.rs:372-400); ``multiple_multiexp`` is the fork's batch entry
+    point (`ag-cuda-ec/src/multiexp.rs:21-81`), running many independent
+    MSMs that share one compiled kernel.  ``maybe_abort`` is polled between
+    chunks (multiexp.rs:140-144 parity).
+    """
+
+    def __init__(self, spec: CurveSpec, maybe_abort=None):
+        self.spec = spec
+        self.ops = point_ops(spec)
+        self.maybe_abort = maybe_abort
+        self._jitted = {}
+
+    def _check_abort(self):
+        if self.maybe_abort is not None and self.maybe_abort():
+            raise Aborted("MSM aborted by hook")
+
+    def _fn(self, m: int, G: int, window_size: int, signed: bool):
+        key = (m, G, window_size, signed)
+        if key not in self._jitted:
+            ops = self.ops
+
+            @jax.jit
+            def run(points, scalars):
+                return _msm_lattice(
+                    ops, points, scalars, window_size=window_size, signed=signed
+                )
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
+    def prepare_inputs(self, bases, scalars, num_groups: int):
+        """Host-side marshalling: pad n to a multiple of G (identity points
+        with zero scalars land in the dummy slot) and reshape to the (m, G)
+        lattice.  The scalar array is zero-padded by one limb for the
+        cross-limb window extraction."""
+        ops = self.ops
+        n = jax.tree_util.tree_leaves(bases)[0].shape[0]
+        G = num_groups
+        m = -(-n // G)
+        pad = m * G - n
+
+        def pad_leaf(l):
+            if pad:
+                l = jnp.concatenate(
+                    [l, jnp.zeros((pad,) + l.shape[1:], l.dtype)], axis=0
+                )
+            return l.reshape((m, G) + l.shape[1:])
+
+        points = jax.tree_util.tree_map(pad_leaf, bases)
+        s = jnp.concatenate(
+            [scalars, jnp.zeros(scalars.shape[:-1] + (1,), scalars.dtype)], axis=-1
+        )
+        s = pad_leaf(s)
+        return points, s, m
+
+    def multiexp(
+        self,
+        bases,
+        scalars: jnp.ndarray,
+        *,
+        window_size: int | None = None,
+        num_groups: int | None = None,
+        signed: bool = True,
+    ):
+        """sum_i scalars[i] * bases[i] -> one Jacobian point (batch (1,)).
+
+        ``bases`` is an affine pytree batch ((0,0) = identity); ``scalars``
+        is a (n, Ls) plain-integer limb batch (NOT Montgomery — the
+        reference converts with to_repr at multiexp.rs:152-153; use
+        ``PointOps.scalars_to_limbs``)."""
+        self._check_abort()
+        n = jax.tree_util.tree_leaves(bases)[0].shape[0]
+        w = window_size or default_window_size(n)
+        G = num_groups or default_num_groups(n, w)
+        points, s, m = self.prepare_inputs(bases, scalars, G)
+        return self._fn(m, G, w, signed)(points, s)
+
+    def multiple_multiexp(
+        self,
+        bases,
+        scalars: jnp.ndarray,
+        num_chunks: int,
+        *,
+        window_size: int | None = None,
+        num_groups: int | None = None,
+        signed: bool = True,
+    ):
+        """num_chunks independent MSMs over equal slices of ``bases``
+        (ag-cuda-ec/src/multiexp.rs:21-81 parity: scalars has one row of
+        exps per chunk).  Returns a Jacobian batch of num_chunks points."""
+        n = jax.tree_util.tree_leaves(bases)[0].shape[0]
+        chunk = n // num_chunks
+        assert chunk * num_chunks == n, "bases must split evenly into chunks"
+        outs = []
+        for c in range(num_chunks):
+            self._check_abort()
+            sl = slice(c * chunk, (c + 1) * chunk)
+            b = jax.tree_util.tree_map(lambda l: l[sl], bases)
+            outs.append(
+                self.multiexp(
+                    b,
+                    scalars[sl],
+                    window_size=window_size,
+                    num_groups=num_groups,
+                    signed=signed,
+                )
+            )
+        return jax.tree_util.tree_map(
+            lambda *ls: jnp.concatenate(ls, axis=0), *outs
+        )
+
+
+# -- functional convenience ---------------------------------------------------
+
+
+def msm(spec: CurveSpec, bases, scalars, **kw):
+    return MultiexpKernel(spec).multiexp(bases, scalars, **kw)

@@ -34,6 +34,19 @@ from ..fields.params import FieldSpec, int_to_limbs
 MAX_LOG2_FFT = 32
 
 
+def twiddle_table_np(spec: FieldSpec, omega: int, log_len: int) -> np.ndarray:
+    """(2^log_len, L) numpy table of omega^j in Montgomery form (eager)."""
+    from ..fields.bigint import np_mont_mul
+
+    table = int_to_limbs(spec.one, spec.n_limbs)[None, :].astype(np.uint32)
+    w_pow = omega
+    for _ in range(log_len):
+        scale = int_to_limbs(spec.to_mont(w_pow), spec.n_limbs)
+        table = np.concatenate([table, np_mont_mul(spec, table, scale[None, :])], axis=0)
+        w_pow = (w_pow * w_pow) % spec.modulus
+    return table
+
+
 def bit_reverse_permutation(log_n: int) -> np.ndarray:
     """Index permutation reversing log_n-bit indices (common.cl:108-115)."""
     n = 1 << log_n
@@ -70,23 +83,30 @@ class Domain:
         self.inverse = inverse
         self._rev = bit_reverse_permutation(log_n)
 
+    def materialize(self) -> "Domain":
+        """Force the lazy device tables to concrete arrays.  MUST be called
+        before first use from inside any jit/shard_map trace: a
+        cached_property evaluated mid-trace would cache a tracer (inner jit
+        calls inline into an active trace) and leak it to later calls."""
+        _ = self.twiddles, self.n_inv
+        return self
+
     @functools.cached_property
     def n_inv(self) -> np.ndarray:
         """n^{-1} (Montgomery form) for inverse-transform scaling."""
         return self.f.constant(pow(self.n, -1, self.spec.modulus))
 
     @functools.cached_property
-    def twiddles(self) -> jnp.ndarray:
-        """(n/2, L) table of w^j in Montgomery form, built by log-depth
-        doubling on device: [1] -> [1, w] -> [1, w, w^2, w^3] -> ..."""
-        f, spec = self.f, self.spec
-        table = jnp.asarray(int_to_limbs(spec.one, f.L))[None, :]
-        w_pow = self.omega  # host bigint: omega^(current table length)
-        for _ in range(self.log_n - 1):
-            scale = jnp.asarray(int_to_limbs(spec.to_mont(w_pow), f.L))
-            table = jnp.concatenate([table, f.mul(table, scale[None, :])], axis=0)
-            w_pow = (w_pow * w_pow) % spec.modulus
-        return table
+    def twiddles(self) -> np.ndarray:
+        """(n/2, L) NUMPY table of w^j in Montgomery form, built by log-depth
+        doubling: [1] -> [1, w] -> [1, w, w^2, w^3] -> ...
+
+        Built (and cached) as numpy via the eager Montgomery backend
+        (fields/bigint.py) so the cache is trace-immune: even jnp.asarray of
+        a numpy array performed while a caller's jit trace is active yields a
+        trace-bound constant, so nothing jnp may be cached here.  Consumers
+        convert with jnp.asarray at trace time (constant-folded per jit)."""
+        return twiddle_table_np(self.spec, self.omega, self.log_n - 1)
 
 
 
@@ -113,7 +133,7 @@ def _ntt_impl(dom: Domain, x: jnp.ndarray) -> jnp.ndarray:
     n, log_n = dom.n, dom.log_n
     if log_n == 0:
         return x
-    tw_table = dom.twiddles  # (n/2, L)
+    tw_table = jnp.asarray(dom.twiddles)  # (n/2, L), numpy -> trace const
     half_idx = jnp.arange(n // 2, dtype=jnp.uint32)
 
     def stage(s, y):
@@ -149,6 +169,7 @@ class FftKernel:
         key = (log_n, inverse)
         if key not in self._jitted:
             dom = get_domain(self.spec, log_n, inverse)
+            dom.materialize()  # build tables OUTSIDE the trace (no tracer leak)
 
             def run(x):
                 y = _ntt_impl(dom, x)

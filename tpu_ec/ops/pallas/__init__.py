@@ -1,0 +1,3 @@
+from . import mont, ntt
+
+__all__ = ["mont", "ntt"]
