@@ -1,56 +1,69 @@
 """Headline benchmark: prints ONE JSON line for the driver.
 
 Metric: single-chip BLS12-381 Fr NTT throughput (elements/sec) at 2^20 —
-the radix_fft_many path of the reference (`ec-gpu-proxy/src/fft.rs`), which
+the radix_fft path of the reference (`ec-gpu-proxy/src/fft.rs`), which
 publishes no absolute numbers (BASELINE.md); ``vs_baseline`` is therefore
 measured against a speed-of-light estimate for this chip's VPU:
 
   speed-of-light mulmod ~ VPU u32-op throughput / ops-per-mulmod.
   An Fr Montgomery mul in the 16-bit-limb model is 3 column products
   (3 * L^2 = 768 u32 mul-adds) + 3 log-depth carry passes ~ 3000 u32 ops.
-  NTT(2^20) = 20 stages * 2^19 (1 mul + ~2.2 add-equivalents) — the add's
-  lookahead chain costs ~L*8 ops.  v5e-class VPU ~ 4e12 u32 ops/s =>
-  ~5e7-1.5e8 elem/s SOL band; vs_baseline uses its midpoint 1e8 so a value
-  of 1.0 means "at speed of light" (not "at reference parity", which does
-  not exist).
+  NTT(2^20) = 20 stages * 2^19 (1 mul + ~2.2 add-equivalents).  v5e-class
+  VPU ~ 4e12 u32 ops/s => ~5e7-1.5e8 elem/s SOL band; vs_baseline uses its
+  midpoint 1e8 so a value of 1.0 means "at speed of light" (not "at
+  reference parity", which does not exist).
+
+Honesty guards (the round-1 number was ~1000x wrong from a missing sync):
+  - timing syncs by reading result bytes back to the host (utils/measure.py),
+  - inputs are valid reduced field elements and the benched transform is
+    verified on-device against the forward<->inverse roundtrip identity
+    before timing,
+  - the reported rate must be physically possible for this chip's HBM.
 """
 
 import json
-import time
 
 SOL_ELEMS_PER_S = 1.0e8
+LOG_N = 20
 
 
 def main():
     import jax
+    import jax.numpy as jnp
+    import numpy as np
 
     from tpu_ec.fields import BLS12_381_FR, field_ops
     from tpu_ec.ops.pallas.ntt import PallasFftKernel
     from tpu_ec.utils.cache import enable_compilation_cache
+    from tpu_ec.utils.measure import hard_sync, physically_possible, timeit
 
     enable_compilation_cache()
     f = field_ops(BLS12_381_FR)
-    log_n = 20
-    n = 1 << log_n
-    import numpy as np
-
+    n = 1 << LOG_N
     rng = np.random.default_rng(1)
-    # random limb patterns are fine for throughput (Montgomery mul is
-    # data-oblivious); correctness is covered by tests + the drive scripts
-    xp = jax.numpy.asarray(rng.integers(0, 1 << 16, (f.L, n), dtype=np.uint32))
+    # valid reduced field elements (top limb clamped below p's top limb)
+    limbs = rng.integers(0, 1 << 16, (f.L, n), dtype=np.uint32)
+    limbs[-1] %= int(f.p[-1])
+    xp = jnp.asarray(limbs)
+
     kern = PallasFftKernel(BLS12_381_FR)
-    y = jax.block_until_ready(kern.radix_fft_planes(xp))  # compile + warm
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = kern.radix_fft_planes(y)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / iters
+    y = kern.radix_fft_planes(xp)
+    # correctness gate: inverse(forward(x)) == x, bit-exact, on device
+    x2 = kern.radix_fft_planes(y, inverse=True)
+    ok = jax.jit(lambda a, b: jnp.all(a == b))(x2, xp)
+    assert bool(jax.device_get(ok)), "NTT roundtrip mismatch — bench aborted"
+
+    dt = timeit(kern.radix_fft_planes, xp, iters=5, warmup=1)
+    # one pass reads+writes n*L*4 bytes per stage at minimum; use the single
+    # full-array roundtrip as the lower bound for the plausibility check
+    assert physically_possible(2 * n * f.L * 4, dt), (
+        f"measured {dt:.2e}s/call implies impossible HBM bandwidth — sync broken"
+    )
     value = n / dt
     print(
         json.dumps(
             {
-                "metric": f"bls12_381_fr_ntt_2^{log_n}_throughput",
+                "metric": f"bls12_381_fr_ntt_2^{LOG_N}_throughput",
                 "value": round(value, 1),
                 "unit": "elements/s",
                 "vs_baseline": round(value / SOL_ELEMS_PER_S, 4),
