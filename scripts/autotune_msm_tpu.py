@@ -1,0 +1,60 @@
+"""On-chip MSM window grid search -> tpu_ec/ops/tuned_windows.json.
+
+The measured replacement for guessed heuristics: the reference's AMT bench
+grid-searches num_groups 2^7-2^11 x window 4-9 and prints the best
+(`ag-cuda-ec/benches/amt.rs:37-57`); here the best window per size is
+persisted and consumed by ops/autotune.tuned_window at planning time.
+
+Usage: python scripts/autotune_msm_tpu.py [log_n ...]  (default 14 16 18 20)
+"""
+
+import json
+import os
+import sys
+
+from tpu_ec.curves.params import BLS12_381_G1
+from tpu_ec.ops.msm import MultiexpKernel
+from tpu_ec.ops.msm_sorted import default_window_size_sorted
+from tpu_ec.utils.cache import enable_compilation_cache
+from tpu_ec.utils.measure import timeit
+
+SPEC = BLS12_381_G1
+OUT = os.path.join(
+    os.path.dirname(__file__), "..", "tpu_ec", "ops", "tuned_windows.json"
+)
+
+
+def main(log_ns):
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+    from bench_msm_tpu import gen_inputs  # reuse the native-backed generator
+
+    enable_compilation_cache()
+    kern = MultiexpKernel(SPEC)
+    table = {}
+    if os.path.exists(OUT):
+        table = json.load(open(OUT))
+    curve_tab = table.setdefault(SPEC.name, {})
+    for log_n in log_ns:
+        n = 1 << log_n
+        bases, scalars, _, _ = gen_inputs(n, seed=100 + log_n)
+        w0 = default_window_size_sorted(n)
+        best_w, best_dt = None, float("inf")
+        for w in range(max(2, w0 - 2), min(16, w0 + 2) + 1):
+            dt = timeit(
+                lambda: kern.multiexp(bases, scalars, window_size=w),
+                iters=2,
+                warmup=1,
+            )
+            print(f"2^{log_n} w={w}: {n/dt/1e6:.3f} M pts/s ({dt*1e3:.1f} ms)")
+            if dt < best_dt:
+                best_w, best_dt = w, dt
+        curve_tab[str(log_n)] = best_w
+        print(f"2^{log_n}: best window {best_w} (model said {w0})")
+        with open(os.path.abspath(OUT), "w") as fh:
+            json.dump(table, fh, indent=1)
+    print(f"wrote {os.path.abspath(OUT)}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main([int(a) for a in sys.argv[1:]] or [14, 16, 18, 20])

@@ -111,3 +111,16 @@ def test_plan_heuristics():
         assert 2 <= w <= 12
         g = default_num_groups(n, w)
         assert g & (g - 1) == 0  # power of two
+
+
+def test_multiexp_1bit():
+    """1-bit batch MSM variant (batch_multiexp.cl parity, C14)."""
+    from tpu_ec.ops.msm import multiexp_1bit
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n = 16
+    pts = oracle.random_points(spec, n, seed=90)
+    ks = oracle.random_scalars(spec, n, seed=91)
+    out = multiexp_1bit(spec, ops.from_affine_ints(pts), ops.scalars_to_limbs(ks), num_groups=2)
+    assert ops.to_affine_ints(ops.to_affine(out))[0] == oracle.msm(spec, pts, ks)

@@ -69,7 +69,6 @@ def test_dist_msm(mesh):
         ops.from_affine_ints(pts),
         ops.scalars_to_limbs(ks),
         window_size=8,
-        num_groups=2,
     )
     got = ops.to_affine_ints(ops.to_affine(out))[0]
     assert got == oracle.msm(spec, pts, ks)

@@ -223,6 +223,24 @@ def _msm_lattice(
 # ---------------------------------------------------------------------------
 
 
+def calc_chunk_size(spec: CurveSpec, hbm_budget_bytes: int | None = None) -> int:
+    """Max points per on-device MSM launch, bounded by device memory
+    (the `calc_chunk_size` analog, ec-gpu-proxy/src/multiexp.rs:71-93).
+
+    The sorted engine's peak live footprint is ~12 coordinate-sized arrays
+    of length n (inputs + sorted gathers + one halving generation + scan
+    temporaries), i.e. ~12 * n * L * 4 bytes; we keep the same 20% head-room
+    the reference reserves (multiexp.rs:23-24)."""
+    from ..curves.point import point_ops as _po
+
+    if hbm_budget_bytes is None:
+        hbm_budget_bytes = 12 * (1 << 30)  # conservative v5e default
+    L = _po(spec).fq.L * spec.ext
+    per_point = 12 * L * 4
+    n = int(0.8 * hbm_budget_bytes) // per_point
+    return max(1 << 12, 1 << (n.bit_length() - 1))  # round down to pow2
+
+
 class MultiexpKernel:
     """MSM driver bound to one curve.
 
@@ -231,12 +249,19 @@ class MultiexpKernel:
     point (`ag-cuda-ec/src/multiexp.rs:21-81`), running many independent
     MSMs that share one compiled kernel.  ``maybe_abort`` is polled between
     chunks (multiexp.rs:140-144 parity).
+
+    Two engines: ``method="sorted"`` (default) — the sort + run-halving
+    pipeline in ops/msm_sorted.py; ``method="lattice"`` — the gather/scatter
+    bucket lattice below (kept for unsigned digits and as a differential
+    cross-check).  Inputs larger than ``chunk_size`` are split and partial
+    results combined on device (multiexp.rs:332-366 parity).
     """
 
-    def __init__(self, spec: CurveSpec, maybe_abort=None):
+    def __init__(self, spec: CurveSpec, maybe_abort=None, chunk_size: int | None = None):
         self.spec = spec
         self.ops = point_ops(spec)
         self.maybe_abort = maybe_abort
+        self.chunk_size = chunk_size or calc_chunk_size(spec)
         self._jitted = {}
 
     def _check_abort(self):
@@ -282,6 +307,20 @@ class MultiexpKernel:
         s = pad_leaf(s)
         return points, s, m
 
+    def _fn_sorted(self, n: int, window_size: int):
+        key = ("sorted", n, window_size)
+        if key not in self._jitted:
+            from .msm_sorted import msm_sorted
+
+            ops = self.ops
+
+            @jax.jit
+            def run(points, scalars):
+                return msm_sorted(ops, points, scalars, window_size=window_size)
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
     def multiexp(
         self,
         bases,
@@ -290,6 +329,7 @@ class MultiexpKernel:
         window_size: int | None = None,
         num_groups: int | None = None,
         signed: bool = True,
+        method: str = "auto",
     ):
         """sum_i scalars[i] * bases[i] -> one Jacobian point (batch (1,)).
 
@@ -297,12 +337,59 @@ class MultiexpKernel:
         is a (n, Ls) plain-integer limb batch (NOT Montgomery — the
         reference converts with to_repr at multiexp.rs:152-153; use
         ``PointOps.scalars_to_limbs``)."""
+        from ..utils import timer
+
         self._check_abort()
         n = jax.tree_util.tree_leaves(bases)[0].shape[0]
+        if method == "auto":
+            method = "sorted" if signed else "lattice"
+        if method == "sorted":
+            assert signed, "sorted engine implements signed digits only"
+            if n > self.chunk_size:
+                return self._multiexp_chunked(bases, scalars, window_size)
+            from .autotune import tuned_window
+            from .msm_sorted import default_window_size_sorted
+
+            w = (
+                window_size
+                or tuned_window(self.spec.name, n)
+                or default_window_size_sorted(n)
+            )
+            with timer.phase("msm/prepare"):
+                points, s = self._prepare_flat(bases, scalars)
+            with timer.phase("msm/dispatch"):
+                return self._fn_sorted(n, w)(points, s)
         w = window_size or default_window_size(n)
-        G = num_groups or default_num_groups(n, w)
-        points, s, m = self.prepare_inputs(bases, scalars, G)
-        return self._fn(m, G, w, signed)(points, s)
+        with timer.phase("msm/prepare"):
+            points, s, m = self.prepare_inputs(bases, scalars, G := (num_groups or default_num_groups(n, w)))
+        with timer.phase("msm/dispatch"):
+            return self._fn(m, G, w, signed)(points, s)
+
+    def _prepare_flat(self, bases, scalars):
+        """Marshalling for the sorted engine: zero-pad scalars by one limb
+        for cross-limb window extraction (no lattice reshape)."""
+        s = jnp.concatenate(
+            [scalars, jnp.zeros(scalars.shape[:-1] + (1,), scalars.dtype)],
+            axis=-1,
+        )
+        return bases, s
+
+    def _multiexp_chunked(self, bases, scalars, window_size):
+        """Split an oversized MSM into chunk_size pieces and sum the partial
+        Jacobian results (the per-GPU serial chunk loop of
+        multiexp.rs:332-366, with the host combine kept on device)."""
+        n = jax.tree_util.tree_leaves(bases)[0].shape[0]
+        c = self.chunk_size
+        acc = None
+        for lo in range(0, n, c):
+            self._check_abort()
+            hi = min(lo + c, n)
+            b = jax.tree_util.tree_map(lambda l: l[lo:hi], bases)
+            part = self.multiexp(
+                b, scalars[lo:hi], window_size=window_size, method="sorted"
+            )
+            acc = part if acc is None else self.ops.add(acc, part)
+        return acc
 
     def multiple_multiexp(
         self,
@@ -344,3 +431,17 @@ class MultiexpKernel:
 
 def msm(spec: CurveSpec, bases, scalars, **kw):
     return MultiexpKernel(spec).multiexp(bases, scalars, **kw)
+
+
+def multiexp_1bit(spec: CurveSpec, bases, scalars, num_groups: int | None = None):
+    """1-bit-window batch MSM variant (`ag-build/cl/batch_multiexp.cl:11-55`
+    parity): window_size = 1, unsigned digits — one bucket per scalar bit,
+    running on the lattice engine."""
+    return MultiexpKernel(spec).multiexp(
+        bases,
+        scalars,
+        window_size=1,
+        signed=False,
+        method="lattice",
+        num_groups=num_groups,
+    )

@@ -3,15 +3,13 @@
 The reference splits one MSM's input across GPUs and sums the per-GPU
 partial results **on the host** (`ec-gpu-proxy/src/multiexp.rs:324-400`,
 final sum at :392-399).  Here the split is a `shard_map` over the mesh
-leading axis; each chip runs the single-chip bucket-lattice kernel
-(ops/msm.py) on its shard and the partials are combined on-fabric: an
+leading axis; each chip runs the single-chip sorted-engine MSM
+(ops/msm_sorted.py) on its shard and the partials are combined on-fabric: an
 `all_gather` of the (tiny) per-chip Jacobian partials followed by a local
 log-depth tree reduction — the collective replacement for the host loop.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -20,8 +18,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..curves.params import CurveSpec
 from ..curves.point import point_ops
-from ..ops import msm as msm_mod
+from ..ops.msm_sorted import default_window_size_sorted, msm_sorted
 from .mesh import AXIS
+
+tmap = jax.tree_util.tree_map
 
 
 class DistMultiexpKernel:
@@ -33,18 +33,16 @@ class DistMultiexpKernel:
         self.mesh = mesh
         self._jitted = {}
 
-    def _fn(self, m: int, G: int, w: int, signed: bool):
-        key = (m, G, w, signed)
+    def _fn(self, n: int, w: int):
+        key = (n, w)
         if key not in self._jitted:
             ops = self.ops
             d = self.mesh.devices.size
 
             def body(points, scalars):
-                # local shard: leaves (m/d, G, ...) — one lattice MSM
-                part = msm_mod._msm_lattice(
-                    ops, points, scalars, window_size=w, signed=signed
-                )  # Jacobian batch (1,)
-                gathered = jax.tree_util.tree_map(
+                # local shard: leaves (n/d, ...) — one sorted-engine MSM
+                part = msm_sorted(ops, points, scalars, window_size=w)
+                gathered = tmap(
                     lambda l: jax.lax.all_gather(l, AXIS, axis=0, tiled=True),
                     part,
                 )  # (d,)
@@ -52,11 +50,11 @@ class DistMultiexpKernel:
                 g = d
                 acc = gathered
                 while g > 1:
-                    lo = jax.tree_util.tree_map(lambda l: l[: g // 2], acc)
-                    hi = jax.tree_util.tree_map(lambda l: l[g // 2 : g], acc)
+                    lo = tmap(lambda l: l[: g // 2], acc)
+                    hi = tmap(lambda l: l[g // 2 : g], acc)
                     acc = ops.add(lo, hi)
                     g //= 2
-                return jax.tree_util.tree_map(lambda l: l[:1], acc)
+                return tmap(lambda l: l[:1], acc)
 
             @jax.jit
             def run(points, scalars):
@@ -77,32 +75,31 @@ class DistMultiexpKernel:
         scalars: jnp.ndarray,
         *,
         window_size: int | None = None,
-        num_groups: int | None = None,
-        signed: bool = True,
     ):
         """sum_i scalars[i] * bases[i] across the whole mesh.
 
-        Shards the (m, G) lattice's m axis: points are laid out so that
-        device d owns lattice rows [d*m/D, (d+1)*m/D) — each device's shard
-        is a contiguous slab after `prepare_inputs`."""
+        ``bases`` is an affine pytree batch, ``scalars`` a (n, Ls) plain-int
+        limb batch.  n is padded with (identity, 0) pairs to a multiple of
+        the mesh size; device k owns the contiguous slab [k*n/d, (k+1)*n/d)."""
         d = self.mesh.devices.size
         n = jax.tree_util.tree_leaves(bases)[0].shape[0]
-        n_loc = -(-n // d)
-        w = window_size or msm_mod.default_window_size(n_loc)
-        G = num_groups or msm_mod.default_num_groups(n_loc, w)
-        kern = msm_mod.MultiexpKernel(self.spec)
-        # pad n to d * ceil(...) * G so every device gets equal (m/d, G) slabs
-        points, s, m = kern.prepare_inputs(bases, scalars, G)
-        if m % d:
-            pad = d - (m % d)
-            points = jax.tree_util.tree_map(
+        pad = (-n) % d
+        if pad:
+            bases = tmap(
                 lambda l: jnp.concatenate(
                     [l, jnp.zeros((pad,) + l.shape[1:], l.dtype)], axis=0
                 ),
-                points,
+                bases,
             )
-            s = jnp.concatenate(
-                [s, jnp.zeros((pad,) + s.shape[1:], s.dtype)], axis=0
+            scalars = jnp.concatenate(
+                [scalars, jnp.zeros((pad,) + scalars.shape[1:], scalars.dtype)],
+                axis=0,
             )
-            m += pad
-        return self._fn(m, G, w, signed)(points, s)
+            n += pad
+        # one zero limb for cross-limb window extraction (msm.make_digits)
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros(scalars.shape[:-1] + (1,), scalars.dtype)],
+            axis=-1,
+        )
+        w = window_size or default_window_size_sorted(n // d)
+        return self._fn(n, w)(bases, scalars)
