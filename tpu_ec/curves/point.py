@@ -66,8 +66,22 @@ def _batch_inverse(F, a):
     return F.select(iz, zero, out)
 
 
+#: batches at least this large route through the fused Pallas point kernels
+#: (ops/pallas/point.py) on TPU; below it the fused-XLA jnp path wins on
+#: dispatch overhead.  Override with TPU_EC_PALLAS_EC_MIN (0 disables).
+import os as _os
+
+_PALLAS_EC_MIN = int(_os.environ.get("TPU_EC_PALLAS_EC_MIN", "1024"))
+
+
 class PointOps:
-    """Batched Jacobian group ops bound to one :class:`CurveSpec`."""
+    """Batched Jacobian group ops bound to one :class:`CurveSpec`.
+
+    Group ops dispatch per-shape: large 1-batch-dim G1 batches use the fused
+    Pallas kernels (every field op of the formula VMEM-resident — the analog
+    of the hand-written device code in ag-build/cl/ec.cl), everything else
+    the composable jnp formulas below.  Both paths are bit-identical.
+    """
 
     def __init__(self, spec: CurveSpec):
         self.spec = spec
@@ -75,6 +89,20 @@ class PointOps:
         self.F = self.fq if spec.ext == 1 else fp2_ops(spec.base)
         self.fr = field_ops(spec.scalar)
         self.L = self.fq.L
+
+    # -- Pallas fused-kernel dispatch ----------------------------------------
+
+    def _pallas_batch(self, P) -> int:
+        """Flattenable batch size if the fused kernel applies, else 0."""
+        if self.spec.ext != 1 or _PALLAS_EC_MIN <= 0:
+            return 0
+        leaf = jax.tree_util.tree_leaves(P)[0]
+        n = int(np.prod(leaf.shape[:-1])) if leaf.ndim > 1 else 0
+        return n if n >= _PALLAS_EC_MIN else 0
+
+    @staticmethod
+    def _flat(coords, n, L):
+        return [c.reshape(n, L) for c in coords]
 
     # -- constants / constructors ------------------------------------------
 
@@ -166,6 +194,13 @@ class PointOps:
 
     def double(self, P):
         """dbl-2009-l (ec.cl:17-42); identity-safe for free (Z3 = 2YZ = 0)."""
+        n = self._pallas_batch(P)
+        if n:
+            from ..ops.pallas.point import jac_double
+
+            shape = P[0].shape
+            out = jac_double(self.spec.base, self._flat(P, n, self.L))
+            return tuple(o.reshape(shape) for o in out)
         F = self.F
         X, Y, Z = P
         A = F.sqr(X)
@@ -182,6 +217,17 @@ class PointOps:
 
     def add(self, P, Q):
         """add-2007-bl (ec.cl:85-120) with select-based completeness."""
+        n = self._pallas_batch(P)
+        if n and P[0].shape == Q[0].shape:
+            from ..ops.pallas.point import jac_add
+
+            shape = P[0].shape
+            out = jac_add(
+                self.spec.base,
+                self._flat(P, n, self.L),
+                self._flat(Q, n, self.L),
+            )
+            return tuple(o.reshape(shape) for o in out)
         F = self.F
         X1, Y1, Z1 = P
         X2, Y2, Z2 = Q
@@ -210,6 +256,17 @@ class PointOps:
     def add_mixed(self, P, A):
         """madd-2007-bl: Jacobian + affine (ec.cl:45-82), the MSM hot op —
         7M + 4S instead of 11M + 5S for the full add."""
+        n = self._pallas_batch(P)
+        if n and P[0].shape == A[0].shape:
+            from ..ops.pallas.point import jac_add_mixed
+
+            shape = P[0].shape
+            out = jac_add_mixed(
+                self.spec.base,
+                self._flat(P, n, self.L),
+                self._flat(A, n, self.L),
+            )
+            return tuple(o.reshape(shape) for o in out)
         F = self.F
         X1, Y1, Z1 = P
         X2, Y2 = A
