@@ -42,3 +42,16 @@ def test_pallas_intt_roundtrip():
     kern = PallasFftKernel(spec, block=128)
     back = kern.radix_fft(kern.radix_fft(x), inverse=True)
     assert f.to_ints(back) == vals
+
+
+def test_fused_ntt_roundtrip_2_10():
+    """Fused multi-stage path (log_n > 9 routes through ntt_fused):
+    forward + inverse bit-exact at 2^10 (two recursion levels)."""
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    r = random.Random(105)
+    vals = [r.randrange(spec.modulus) for _ in range(1 << 10)]
+    x = f.from_ints(vals)
+    k = PallasFftKernel(spec)
+    y = k.radix_fft(x)
+    assert f.to_ints(k.radix_fft(y, inverse=True)) == vals

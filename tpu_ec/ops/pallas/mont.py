@@ -93,18 +93,23 @@ def sub_rows(a, b):
     return (t - B) & MASK, G[-1:]
 
 
+def _pad0(x, before: int, after: int):
+    """Pad only axis 0 (limb axis), any trailing shape."""
+    return jnp.pad(x, ((before, after),) + ((0, 0),) * (x.ndim - 1))
+
+
 def mul_cols_rows(a, b, L: int):
-    """Schoolbook column sums of two (L, TN) limb planes -> (2L, TN),
+    """Schoolbook column sums of two (L, ...) limb planes -> (2L, ...),
     each column < 2L * 2^16 < 2^22 (the 32-bit headroom carries the rest)."""
     acc = jnp.zeros((2 * L,) + a.shape[1:], U32)
     for i in range(L):
-        prod = a[i : i + 1] * b  # (L, TN); 16x16 -> 32 exact
+        prod = a[i : i + 1] * b  # (L, ...); 16x16 -> 32 exact
         lo = prod & MASK
         hi = prod >> LIMB_BITS
         # static-offset adds via pad (Mosaic has no scatter-add; pads keep
         # every op a plain vector add over aligned rows)
-        acc = acc + jnp.pad(lo, ((i, L - i), (0, 0)))
-        acc = acc + jnp.pad(hi, ((i + 1, L - i - 1), (0, 0)))
+        acc = acc + _pad0(lo, i, L - i)
+        acc = acc + _pad0(hi, i + 1, L - i - 1)
     return acc
 
 
@@ -149,7 +154,7 @@ class PlaneField:
         t_lo, c_lo = t_lo_full[:L], t_lo_full[L:]
         m = normalize_rows(mul_cols_rows(t_lo, jnp.broadcast_to(npr, t_lo.shape), L)[:L])[:L]
         mp = mul_cols_rows(m, jnp.broadcast_to(p, m.shape), L)  # (2L, TN)
-        u_hi = t[L:] + mp[L:] + jnp.pad(c_lo, ((0, L - 1), (0, 0)))
+        u_hi = t[L:] + mp[L:] + _pad0(c_lo, 0, L - 1)
         u = jnp.concatenate([t_lo + mp[:L], u_hi], axis=0)
         un = normalize_rows(u)[: 2 * L]  # final carry provably 0
         return self.cond_sub_p(un[L:], p)

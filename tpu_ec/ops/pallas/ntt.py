@@ -96,6 +96,19 @@ class PallasFftKernel:
     def _fn(self, log_n: int, inverse: bool):
         key = (log_n, inverse)
         if key not in self._jitted:
+            if log_n > 9:
+                # fused multi-stage path: radix-2^7 leaves, one HBM round
+                # trip per recursion level (ops/pallas/ntt_fused.py)
+                from .ntt_fused import fused_ntt_planes, get_fused_domain
+
+                get_fused_domain(self.spec, log_n, inverse)  # tables pre-trace
+                spec, interp = self.spec, self.interpret
+
+                def run_fused(xp):
+                    return fused_ntt_planes(spec, xp, inverse, interpret=interp)
+
+                self._jitted[key] = jax.jit(run_fused)
+                return self._jitted[key]
             dom = get_domain(self.spec, log_n, inverse).materialize()
             n = 1 << log_n
             L = self.pf.L
