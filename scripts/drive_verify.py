@@ -49,15 +49,37 @@ from tpu_ec.curves.params import BLS12_381_G1, BN254_G2
 from tpu_ec.curves.point import point_ops
 from tpu_ec.ops.msm import msm
 
-for spec, n in ((BLS12_381_G1, 64), (BN254_G2, 8)):
+for spec, n in ((BLS12_381_G1, 64), (BN254_G2, 256)):
     ops = point_ops(spec)
     pts = oracle.random_points(spec, n, seed=3)
     ks = oracle.random_scalars(spec, n, seed=4)
     out = msm(spec, ops.from_affine_ints(pts), ops.scalars_to_limbs(ks),
-              window_size=8, num_groups=4)
+              window_size=8, num_groups=4, method="lattice")
     got = ops.to_affine_ints(ops.to_affine(out))[0]
-    assert got == oracle.msm(spec, pts, ks), f"msm {spec.name}"
-    print(f"[{time.time()-t0:6.1f}s] msm {spec.name} OK (n={n})")
+    want = oracle.msm(spec, pts, ks)
+    assert got == want, f"msm {spec.name}"
+    # sorted engine (the default path) must agree on the same inputs
+    out2 = msm(spec, ops.from_affine_ints(pts), ops.scalars_to_limbs(ks))
+    assert ops.to_affine_ints(ops.to_affine(out2))[0] == want, f"sorted msm {spec.name}"
+    print(f"[{time.time()-t0:6.1f}s] msm {spec.name} OK (n={n}, lattice+sorted)")
+
+# -- KZG-style commit pipeline (NTT + MSM composed) ---------------------------
+from tpu_ec.ops.pipeline import CommitPipeline
+from tpu_ec.curves.params import BN254_G1
+
+spec = BN254_G1
+ops = point_ops(spec)
+frk = field_ops(spec.scalar)
+n = 64
+coeffs = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
+pts = oracle.random_points(spec, n, seed=5)
+evals, commit = CommitPipeline(spec).commit(
+    frk.from_ints(coeffs), ops.from_affine_ints(pts)
+)
+eval_ints = ntt_ref(spec.scalar, coeffs)
+assert frk.to_ints(evals) == eval_ints, "pipeline ntt stage"
+assert ops.to_affine_ints(ops.to_affine(commit))[0] == oracle.msm(spec, pts, eval_ints), "pipeline commit"
+print(f"[{time.time()-t0:6.1f}s] commit pipeline OK (n={n})")
 
 # -- EC-FFT --------------------------------------------------------------------
 from tpu_ec.ops.ec_fft import EcFftKernel

@@ -1,0 +1,165 @@
+"""Multi-chip scaling-efficiency harness -> SCALING.json.
+
+BASELINE config[4] targets >=80% scaling efficiency for a 2^24 G1 MSM and a
+2^26 NTT on a v5e-16 slice.  Real multi-chip hardware is not available in
+this environment, so this harness produces the efficiency *instrument*:
+
+1. validates the distributed algorithms bit-exactly on a virtual CPU mesh
+   (d = 2, 4, 8) — covering the all_to_all / all_gather plumbing, and
+2. computes the communication-volume efficiency model from the algorithm's
+   exact collective byte counts and the measured single-chip compute rates,
+   for the target sizes at d = 8 and 16.
+
+Model (no compute/comm overlap assumed — a lower bound; Pallas async
+collectives can only improve it):
+
+  NTT (four-step, parallel/ntt_dist.py): compute = (n/2 log n + n) mulmods
+  spread over d chips; comm = 3 all_to_alls, each sending (d-1)/d of the
+  local shard across ICI: 3 * (n/d) * (d-1)/d * bytes_per_elem per chip.
+
+  MSM (parallel/msm_dist.py): compute = ~1.15 * (n/d) * W point-adds per
+  chip (sorted engine, ops/msm_sorted.py) + combine; comm = one all_gather
+  of d Jacobian points — negligible, so MSM efficiency is bounded by the
+  window-count penalty of sharding: W(n/d)/W(n) windows do not shrink with
+  d, i.e. eff ~= cost_model(n)/ (d * cost_model(n/d)).
+
+Usage: python scripts/scaling_harness.py  (CPU; writes SCALING.json)
+"""
+
+import json
+import math
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "") and None
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import numpy as np
+
+# -- measured single-chip constants (from scripts/bench_mont_tpu.py and
+# scripts/bench_msm_tpu.py on the v5e; update when kernels improve) --------
+MULMOD_PER_S = 232.8e6  # Fr Montgomery mul/s, Pallas plane kernel @ 2^20
+# v5e ICI: 4 links/chip, ~186 GB/s/dir aggregate; all_to_all effective
+# per-chip egress bandwidth (conservative):
+ICI_BYTES_PER_S = 9.0e10
+FR_BYTES = 16 * 4  # (L=16 halflimb u32) on-fabric representation
+
+
+def ntt_efficiency(log_n: int, d: int) -> dict:
+    n = 1 << log_n
+    mulmods = n // 2 * log_n + n  # stages + inter-pass twiddle
+    t_comp = mulmods / d / MULMOD_PER_S
+    shard_bytes = n // d * FR_BYTES
+    t_comm = 3 * shard_bytes * (d - 1) / d / ICI_BYTES_PER_S
+    eff = t_comp / (t_comp + t_comm)
+    return {
+        "config": f"ntt_2^{log_n}",
+        "devices": d,
+        "per_device_mulmods": mulmods // d,
+        "collective_bytes_per_device": int(3 * shard_bytes * (d - 1) / d),
+        "t_compute_s": round(t_comp, 4),
+        "t_comm_s": round(t_comm, 4),
+        "est_efficiency": round(eff, 4),
+    }
+
+
+def _msm_cost(n: int) -> float:
+    """Sorted-engine point-add count model (ops/msm_sorted.py docstring)."""
+    from tpu_ec.ops.msm_sorted import default_window_size_sorted
+
+    w = default_window_size_sorted(n)
+    W = -(-256 // w)
+    B = 1 << (w - 1)
+    return W * (1.1 * n + 3 * B * max(1, w - 1))
+
+
+def msm_efficiency(log_n: int, d: int) -> dict:
+    n = 1 << log_n
+    cost1 = _msm_cost(n)
+    cost_d = _msm_cost(n // d)
+    # comm: all_gather of d Jacobian points (3 coords, Fq = 24 halflimbs)
+    gather_bytes = d * 3 * 24 * 4
+    t_comm = gather_bytes / ICI_BYTES_PER_S
+    eff = cost1 / (d * cost_d)  # window-count penalty; comm negligible
+    return {
+        "config": f"g1_msm_2^{log_n}",
+        "devices": d,
+        "per_device_point_adds": int(cost_d),
+        "collective_bytes_per_device": gather_bytes,
+        "t_comm_s": round(t_comm, 9),
+        "est_efficiency": round(min(1.0, eff), 4),
+    }
+
+
+def validate_virtual_mesh() -> list:
+    """Bit-exact distributed runs on 2/4/8 virtual devices."""
+    from tpu_ec.curves import oracle
+    from tpu_ec.curves.params import BN254_G1
+    from tpu_ec.curves.point import point_ops
+    from tpu_ec.fields import BLS12_381_FR, field_ops
+    from tpu_ec.ops.ntt import ntt_ref
+    from tpu_ec.parallel import DistFftKernel, DistMultiexpKernel
+    from tpu_ec.parallel.mesh import make_mesh
+
+    results = []
+    f = field_ops(BLS12_381_FR)
+    rng = random.Random(77)
+    log_n = 10
+    vals = [rng.randrange(BLS12_381_FR.modulus) for _ in range(1 << log_n)]
+    want_head = ntt_ref(BLS12_381_FR, vals)[:8]
+    x = f.from_ints(vals)
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n_msm = 128
+    pts = oracle.random_points(spec, n_msm, seed=70)
+    ks = oracle.random_scalars(spec, n_msm, seed=71)
+    want_msm = oracle.msm(spec, pts, ks)
+    b_dev = ops.from_affine_ints(pts)
+    s_dev = ops.scalars_to_limbs(ks)
+
+    for d in (2, 4, 8):
+        mesh = make_mesh(jax.devices()[:d])
+        y = DistFftKernel(BLS12_381_FR, mesh).radix_fft(x)
+        ok_ntt = f.to_ints(y[:8]) == want_head
+        out = DistMultiexpKernel(spec, mesh).multiexp(b_dev, s_dev)
+        ok_msm = ops.to_affine_ints(ops.to_affine(out))[0] == want_msm
+        results.append({"devices": d, "ntt_2^10_ok": ok_ntt, "msm_128_ok": ok_msm})
+        assert ok_ntt and ok_msm, f"virtual-mesh validation failed at d={d}"
+    return results
+
+
+def main():
+    report = {
+        "model_constants": {
+            "mulmod_per_s_per_chip": MULMOD_PER_S,
+            "ici_bytes_per_s_per_chip": ICI_BYTES_PER_S,
+            "assumption": "no compute/comm overlap (lower bound)",
+        },
+        "virtual_mesh_validation": validate_virtual_mesh(),
+        "estimates": [
+            ntt_efficiency(26, 8),
+            ntt_efficiency(26, 16),
+            msm_efficiency(24, 8),
+            msm_efficiency(24, 16),
+        ],
+    }
+    out = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    with open(os.path.abspath(out), "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report["estimates"], indent=1))
+    print("wrote SCALING.json")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+    main()

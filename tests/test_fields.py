@@ -5,6 +5,7 @@ test_fields.rs:11-107`): random inputs per op, bit-exact comparison against
 an independent host implementation, for every registered field.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -187,3 +188,23 @@ def test_fp2(rng, spec):
     inv = f2.inv_(a)
     prod = f2.to_ints(f2.mul(a, inv))
     assert all(pr == (1, 0) for pr in prod)
+
+
+def test_pow_lookup(rng):
+    """pow via precomputed squares table (FIELD_pow_lookup, field.cl:342-352)."""
+    import numpy as np
+
+    from tpu_ec.fields.params import int_to_limbs
+
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    p = spec.modulus
+    base_int = int(rng.integers(1, 2**63)) ** 3 % p
+    exps = [0, 1, int(rng.integers(0, 2**63)), p - 2]
+    base = f.from_ints([base_int] * len(exps))
+    table = f.pow_table(base)
+    e = jnp.asarray(
+        np.stack([int_to_limbs(x, f.L) for x in exps]).astype(np.uint32)
+    )
+    got = f.to_ints(f.pow_lookup(table, e))
+    assert got == [pow(base_int, x, p) for x in exps]

@@ -1,0 +1,46 @@
+"""KZG-style commit pipeline (NTT + MSM composed) vs the bigint oracle —
+the AMT workload parity check (ag-cuda-ec/benches/amt.rs is the reference's
+only consumer of both ops together)."""
+
+import random
+
+from tpu_ec.curves import oracle
+from tpu_ec.curves.params import BN254_G1
+from tpu_ec.curves.point import point_ops
+from tpu_ec.fields import field_ops
+from tpu_ec.ops.ntt import ntt_ref
+from tpu_ec.ops.pipeline import CommitPipeline
+
+
+def test_commit_vs_oracle():
+    spec = BN254_G1
+    ops = point_ops(spec)
+    fr = field_ops(spec.scalar)
+    n = 32
+    rng = random.Random(40)
+    coeff_ints = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
+    pts = oracle.random_points(spec, n, seed=41)
+
+    pipe = CommitPipeline(spec)
+    evals, commit = pipe.commit(fr.from_ints(coeff_ints), ops.from_affine_ints(pts))
+
+    eval_ints = ntt_ref(spec.scalar, coeff_ints)
+    assert fr.to_ints(evals) == eval_ints, "pipeline NTT stage mismatch"
+    got = ops.to_affine_ints(ops.to_affine(commit))[0]
+    assert got == oracle.msm(spec, pts, eval_ints), "pipeline commit mismatch"
+
+
+def test_commit_coefficient_basis():
+    spec = BN254_G1
+    ops = point_ops(spec)
+    fr = field_ops(spec.scalar)
+    n = 16
+    rng = random.Random(42)
+    coeff_ints = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
+    pts = oracle.random_points(spec, n, seed=43)
+    pipe = CommitPipeline(spec)
+    commit = pipe.commit_coefficient_basis(
+        fr.from_ints(coeff_ints), ops.from_affine_ints(pts)
+    )
+    got = ops.to_affine_ints(ops.to_affine(commit))[0]
+    assert got == oracle.msm(spec, pts, coeff_ints)

@@ -271,6 +271,34 @@ class FieldOps:
         """Field inverse via Fermat (a^(p-2)); in-domain for Montgomery reps."""
         return self.pow(a, self.spec.modulus - 2)
 
+    def pow_table(self, base) -> jnp.ndarray:
+        """(nbits, ..., L) table of base^(2^i) — the precomputed-squares table
+        of FIELD_pow_lookup (field.cl:342-352), shared across exponents."""
+        nbits = self.L * LIMB_BITS
+
+        def step(b, _):
+            return self.mul(b, b), b
+
+        _, table = jax.lax.scan(step, base, None, length=nbits)
+        return table
+
+    def pow_lookup(self, table, exponent):
+        """base^exponent from a :meth:`pow_table` table (field.cl:342-352).
+
+        ``exponent`` is a (..., L) plain-integer limb batch broadcastable
+        against the table's batch shape; LSB-first accumulation so each step
+        is one gather + one select + one mul."""
+        nbits = self.L * LIMB_BITS
+
+        def body(i, acc):
+            limb = exponent[..., i // LIMB_BITS]
+            bit = (limb >> jnp.uint32(i % LIMB_BITS)) & 1
+            return self.select(bit == 1, self.mul(acc, table[i]), acc)
+
+        shape = jnp.broadcast_shapes(table.shape[1:], exponent.shape[:-1] + (self.L,))
+        init = jnp.broadcast_to(self.one, shape)
+        return jax.lax.fori_loop(0, nbits, body, init)
+
     def batch_inverse(self, a):
         """Montgomery's batch-inversion over the leading axis.
 
@@ -317,20 +345,44 @@ class FieldOps:
         return jnp.stack([lo, hi], axis=-1).reshape(*a32.shape[:-1], self.L)
 
     def from_ints(self, values, mont: bool = True) -> jnp.ndarray:
-        """Host: list/array of Python ints -> (N, L) device limb array."""
+        """Host: list/array of Python ints -> (N, L) device limb array.
+
+        The bigint->limb conversion is the reference's to_repr marshalling
+        cost ("10ms per 1M scalars", ag-cuda-ec/benches/multiexp.rs:36);
+        large batches split across the host worker pool
+        (threadpool.Worker.scope — the Worker/Waiter analog)."""
+        values = list(values)
         arr = np.zeros((len(values), self.L), dtype=np.uint32)
-        for i, v in enumerate(values):
-            v = v % self.spec.modulus
-            arr[i] = int_to_limbs(self.spec.to_mont(v) if mont else v, self.L)
+
+        def fill(start: int, ln: int):
+            for i in range(start, start + ln):
+                v = values[i] % self.spec.modulus
+                arr[i] = int_to_limbs(self.spec.to_mont(v) if mont else v, self.L)
+
+        if len(values) >= 4096:
+            from ..utils.threadpool import Worker
+
+            Worker().scope(len(values), fill)
+        else:
+            fill(0, len(values))
         return jnp.asarray(arr)
 
     def to_ints(self, a, mont: bool = True) -> list:
         """Device (N, L) limb array -> list of Python ints."""
-        arr = np.asarray(jax.device_get(a))
-        out = []
-        for row in arr.reshape(-1, self.L):
-            v = limbs_to_int(row)
-            out.append(self.spec.from_mont(v) if mont else v)
+        arr = np.asarray(jax.device_get(a)).reshape(-1, self.L)
+        out = [0] * arr.shape[0]
+
+        def fill(start: int, ln: int):
+            for i in range(start, start + ln):
+                v = limbs_to_int(arr[i])
+                out[i] = self.spec.from_mont(v) if mont else v
+
+        if arr.shape[0] >= 4096:
+            from ..utils.threadpool import Worker
+
+            Worker().scope(arr.shape[0], fill)
+        else:
+            fill(0, arr.shape[0])
         return out
 
 
