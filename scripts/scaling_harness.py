@@ -31,7 +31,6 @@ import math
 import os
 import sys
 
-os.environ.setdefault("XLA_FLAGS", "") and None
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

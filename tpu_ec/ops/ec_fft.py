@@ -152,11 +152,37 @@ class EcFftKernel:
         return self._fn(log_n, inverse)(P)
 
     def radix_ec_fft_many(self, Ps, inverse: bool = False):
-        out = []
-        for P in Ps:
-            self._check_abort()
-            out.append(self.radix_ec_fft(P, inverse))
-        return out
+        """Batched transform (multi-GPU chunking analog, ec_fft.rs:241-279).
+
+        A list of same-length Jacobian batches is stacked and transformed
+        under ONE vmapped jit (the whole batch rides a single dispatch);
+        ragged lists fall back to a per-entry loop with abort polling."""
+        # NB: a list means "many transforms"; a (X, Y, Z) TUPLE is one
+        # stacked batch (leaves (B, n, L)) — do not treat tuples as lists.
+        if isinstance(Ps, list):
+            lens = {jax.tree_util.tree_leaves(P)[0].shape[0] for P in Ps}
+            if len(lens) != 1:
+                out = []
+                for P in Ps:
+                    self._check_abort()
+                    out.append(self.radix_ec_fft(P, inverse))
+                return out
+            stacked = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls, axis=0), *Ps
+            )
+            res = self.radix_ec_fft_many(stacked, inverse)
+            b = len(Ps)
+            return [
+                jax.tree_util.tree_map(lambda l: l[i], res) for i in range(b)
+            ]
+        self._check_abort()
+        n = jax.tree_util.tree_leaves(Ps)[0].shape[1]
+        log_n = int(n).bit_length() - 1
+        key = ("many", log_n, inverse)
+        if key not in self._jitted:
+            fn = self._fn(log_n, inverse)
+            self._jitted[key] = jax.jit(jax.vmap(fn))
+        return self._jitted[key](Ps)
 
 
 def radix_ec_fft(spec: CurveSpec, P, inverse: bool = False):
