@@ -24,7 +24,7 @@ for log_n in (16, 20, 22):
     n = 1 << log_n
     rng = np.random.default_rng(5)
     xp = jnp.asarray(rng.integers(0, 1 << 16, (f.L, n), dtype=np.uint32))
-    fn = jax.jit(lambda v: pk.radix_fft_planes(v))
+    fn = pk.radix_fft_planes  # already jitted; an outer jit would re-bake tables
     y = jax.block_until_ready(fn(xp))
     iters = 5
     t0 = time.perf_counter()

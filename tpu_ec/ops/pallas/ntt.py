@@ -97,17 +97,27 @@ class PallasFftKernel:
         key = (log_n, inverse)
         if key not in self._jitted:
             if log_n > 9:
-                # fused multi-stage path: radix-2^7 leaves, one HBM round
+                # fused multi-stage path: radix-2^LEAF leaves, one HBM round
                 # trip per recursion level (ops/pallas/ntt_fused.py)
                 from .ntt_fused import fused_ntt_planes, get_fused_domain
 
-                get_fused_domain(self.spec, log_n, inverse)  # tables pre-trace
+                dom = get_fused_domain(self.spec, log_n, inverse)
+                # inter-level twiddles stay device-resident and enter the jit
+                # as runtime args — baked literals overflow compile-request
+                # size limits at 2^22+ (n*L*4 bytes of table per level)
+                inter = {
+                    k: jax.device_put(jnp.asarray(v))
+                    for k, v in dom._inter_tw.items()
+                }
                 spec, interp = self.spec, self.interpret
 
-                def run_fused(xp):
-                    return fused_ntt_planes(spec, xp, inverse, interpret=interp)
+                @jax.jit
+                def run_fused(xp, inter):
+                    return fused_ntt_planes(
+                        spec, xp, inverse, interpret=interp, inter=inter
+                    )
 
-                self._jitted[key] = jax.jit(run_fused)
+                self._jitted[key] = lambda xp: run_fused(xp, inter)
                 return self._jitted[key]
             dom = get_domain(self.spec, log_n, inverse).materialize()
             n = 1 << log_n

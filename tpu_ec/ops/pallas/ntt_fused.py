@@ -30,6 +30,7 @@ the HBM round-trips and all per-stage XLA interleave passes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,9 +43,11 @@ from ..ntt import bit_reverse_permutation, get_domain, twiddle_table_np
 from .mont import PlaneField
 
 U32 = jnp.uint32
-# radix-2^7 per launch (the reference uses 2^8, fft.rs:15; 2^7 keeps the
-# (L, m, 128)-block working set + mul temporaries within ~8 MB of VMEM)
-LEAF_LOG = 7
+# radix-2^5 per launch (the reference uses 2^8, fft.rs:15).  Larger leaves
+# amortize HBM round trips further but the unrolled stage graph grows
+# linearly and the TPU compile helper OOMs near 2^7; 2^5 keeps the kernel
+# ~5 fused Montgomery muls while still cutting stage round trips 5x.
+LEAF_LOG = int(os.environ.get("TPU_EC_NTT_LEAF_LOG", "5"))
 
 
 # ---------------------------------------------------------------------------
@@ -59,16 +62,37 @@ def _leaf_call(spec: FieldSpec, log_m: int, btot: int, tb: int, interpret: bool)
     m = 1 << log_m
 
     def kernel(p_ref, np_ref, tw_ref, x_ref, o_ref):
+        # DIF (decimation-in-frequency) stages: block-contiguous halves only —
+        # every data-movement op is an axis-1 slice or concat of contiguous
+        # chunks.  (A Pease constant-geometry variant needs a fine-grained
+        # stack/reshape interleave every stage, whose relayout into the
+        # Montgomery-mul graph sends the Mosaic compiler into a tailspin.)
+        # Output is bit-reversed along the m axis; callers un-reverse in XLA.
         p = p_ref[:][:, :, None]  # (L, 1, 1)
         npr = np_ref[:][:, :, None]
         v = x_ref[:]  # (L, m, TB)
         for s in range(log_m):
-            a = v[:, : m // 2, :]
-            b = v[:, m // 2 :, :]
+            nb = 1 << s
+            q2 = m >> s
+            q = q2 // 2
+            a = jnp.concatenate(
+                [v[:, blk * q2 : blk * q2 + q, :] for blk in range(nb)], axis=1
+            ) if nb > 1 else v[:, :q, :]
+            b = jnp.concatenate(
+                [v[:, blk * q2 + q : (blk + 1) * q2, :] for blk in range(nb)],
+                axis=1,
+            ) if nb > 1 else v[:, q:, :]
             tw = tw_ref[s][:, :, None]  # (L, m/2, 1) broadcasts over lanes
             u = pf.add(a, b, p)
             w = pf.mul(pf.sub(a, b, p), jnp.broadcast_to(tw, a.shape), p, npr)
-            v = jnp.stack([u, w], axis=2).reshape(L, m, a.shape[2])
+            v = jnp.concatenate(
+                [
+                    h[:, blk * q : (blk + 1) * q, :]
+                    for blk in range(nb)
+                    for h in (u, w)
+                ],
+                axis=1,
+            )
         o_ref[:] = v
 
     bspec = pl.BlockSpec((L, m, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
@@ -120,8 +144,13 @@ class FusedDomain:
         return out  # e.g. 20 -> [8, 8, 4]
 
     def _leaf_tables(self, log_m: int):
-        """(log_m, L, m/2) Pease stage twiddles + bitrev perm for size 2^log_m
-        with the canonical size-m root derived from self.omega."""
+        """(log_m, L, m/2) DIF stage twiddles + bitrev perm for size 2^log_m
+        with the canonical size-m root derived from self.omega.
+
+        DIF stage s splits the array into 2^s blocks of m/2^s; the butterfly
+        of within-block pair j multiplies by W_m^(j * 2^s), so the stage
+        vector at concatenated position p = blk*q + j (q = m/2^(s+1)) is
+        W_m^((p mod q) * 2^s) — block-independent."""
         spec = self.spec
         m = 1 << log_m
         # canonical size-m root = omega^(n/m)
@@ -131,7 +160,8 @@ class FusedDomain:
         stages = np.zeros((max(1, log_m), L, max(1, m // 2)), np.uint32)
         idx = np.arange(m // 2)
         for s in range(log_m):
-            e = (idx >> s) << s
+            q = m >> (s + 1)
+            e = (idx % max(1, q)) << s
             stages[s] = master[e].T  # (L, m/2)
         return stages, bit_reverse_permutation(log_m)
 
@@ -200,9 +230,12 @@ def _leaf_apply(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool):
     return y[:, rev, :]
 
 
-def _rec(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool):
+def _rec(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool, inter):
     """Natural-in natural-out NTT of size 2^log_m along axis 1 of (L, m, B),
-    root = canonical; recursive four-step."""
+    root = canonical; recursive four-step.  ``inter`` maps (log_m, log_n1) ->
+    the level twiddle table as a RUNTIME array (a trace constant would bake
+    up to n*L*4 bytes of literal into the program — 256 MB at 2^22 — and
+    overflow compile-request limits)."""
     L, m, B = xp.shape
     if log_m <= LEAF_LOG:
         return _leaf_apply(dom, xp, log_m, interpret)
@@ -212,11 +245,11 @@ def _rec(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool):
     x4 = xp.reshape(L, n2, n1 * B)
     y = _leaf_apply(dom, x4, log_n2, interpret)  # NTT_n2 over rows j2
     y = y.reshape(L, n2, n1, B)
-    T = jnp.asarray(dom._inter_tw[(log_m, log_n1)])  # (L, n2, n1)
+    T = inter[(log_m, log_n1)]  # (L, n2, n1) runtime arg
     pcast = jnp.broadcast_to(T[..., None], y.shape)
     y = _twiddle_mul(dom, y, pcast, interpret)
     y = jnp.swapaxes(y, 1, 2)  # (L, n1, n2, B)
-    z = _rec(dom, y.reshape(L, n1, n2 * B), log_n1, interpret)
+    z = _rec(dom, y.reshape(L, n1, n2 * B), log_n1, interpret, inter)
     return z.reshape(L, n1 * n2, B)  # k1-major == natural
 
 
@@ -233,10 +266,20 @@ def _twiddle_mul(dom: FusedDomain, a: jax.Array, b: jax.Array, interpret: bool):
 
 
 def fused_ntt_planes(
-    spec: FieldSpec, xp: jax.Array, inverse: bool = False, *, interpret: bool | None = None
+    spec: FieldSpec,
+    xp: jax.Array,
+    inverse: bool = False,
+    *,
+    interpret: bool | None = None,
+    inter=None,
 ) -> jax.Array:
     """Natural-order NTT of a (L, n) plane batch; bit-exact with
-    ops/ntt.FftKernel (ark Radix2EvaluationDomain convention)."""
+    ops/ntt.FftKernel (ark Radix2EvaluationDomain convention).
+
+    ``inter``: optional {(log_m, log_n1): (L, n2, n1) array} of inter-level
+    twiddle tables passed as runtime values (see PallasFftKernel, which
+    keeps them device-resident across calls); omitted -> tables embed as
+    trace constants (fine for small n and interpret-mode tests)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     L, n = xp.shape
@@ -244,7 +287,9 @@ def fused_ntt_planes(
     if 1 << log_n != n:
         raise ValueError("FFT size must be a power of two")
     dom = get_fused_domain(spec, log_n, inverse)
-    y = _rec(dom, xp[:, :, None], log_n, interpret)[:, :, 0]
+    if inter is None:
+        inter = {k: jnp.asarray(v) for k, v in dom._inter_tw.items()}
+    y = _rec(dom, xp[:, :, None], log_n, interpret, inter)[:, :, 0]
     if inverse:
         ninv = jnp.broadcast_to(
             jnp.asarray(np.asarray(dom.n_inv, np.uint32))[:, None], (L, n)
