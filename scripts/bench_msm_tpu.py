@@ -8,6 +8,8 @@ as the correctness oracle at sizes where the Python bigint oracle is too slow.
 
 Usage: python scripts/bench_msm_tpu.py [log_n ...]   (default 12 14 16 18 20)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
 
 import sys
 import time

@@ -1,4 +1,6 @@
 """TPU: Pallas NTT vs jnp NTT throughput + correctness."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
 import time
 import jax, jax.numpy as jnp
 import numpy as np

@@ -2,6 +2,8 @@
 bit-exactness against Python bigints.  Run:
 PYTHONPATH=/root/.axon_site:/root/repo timeout 580 python -u scripts/drive_verify.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
 
 import random
 import time

@@ -66,12 +66,14 @@ def _batch_inverse(F, a):
     return F.select(iz, zero, out)
 
 
-#: batches at least this large route through the fused Pallas point kernels
-#: (ops/pallas/point.py) on TPU; below it the fused-XLA jnp path wins on
-#: dispatch overhead.  Override with TPU_EC_PALLAS_EC_MIN (0 disables).
-import os as _os
+def _pallas_ec_min() -> int:
+    """Batches at least this large route through the fused Pallas point
+    kernels (ops/pallas/point.py) on TPU; below it the fused-XLA jnp path
+    wins on dispatch overhead.  Config field ``pallas_ec_min``
+    (TPU_EC_PALLAS_EC_MIN env; 0 disables)."""
+    from ..config import get_config
 
-_PALLAS_EC_MIN = int(_os.environ.get("TPU_EC_PALLAS_EC_MIN", "1024"))
+    return get_config().pallas_ec_min
 
 
 class PointOps:
@@ -94,11 +96,12 @@ class PointOps:
 
     def _pallas_batch(self, P) -> int:
         """Flattenable batch size if the fused kernel applies, else 0."""
-        if self.spec.ext != 1 or _PALLAS_EC_MIN <= 0:
+        m = _pallas_ec_min()
+        if self.spec.ext != 1 or m <= 0:
             return 0
         leaf = jax.tree_util.tree_leaves(P)[0]
         n = int(np.prod(leaf.shape[:-1])) if leaf.ndim > 1 else 0
-        return n if n >= _PALLAS_EC_MIN else 0
+        return n if n >= m else 0
 
     @staticmethod
     def _flat(coords, n, L):

@@ -38,8 +38,22 @@ _lib = None
 _lib_err: str | None = None
 
 
+def _logger():
+    from ..utils.log import get_logger
+
+    return get_logger("tpu_ec.native")
+
+
+def load_error() -> str | None:
+    """Diagnostics from the last failed load attempt (None if loaded/untried)
+    — the loader-error surface of ec-gpu-program's EcError (C17)."""
+    return _lib_err
+
+
 def _build_dir() -> str:
-    d = os.environ.get("TPU_EC_NATIVE_BUILD_DIR")
+    from ..config import get_config
+
+    d = get_config().native_build_dir
     if not d:
         d = os.path.join(os.path.dirname(os.path.abspath(_SRC)), "..", "build")
     d = os.path.abspath(d)
@@ -69,8 +83,22 @@ def _load():
             return _lib
         try:
             lib = ctypes.CDLL(_compile())
-        except (OSError, subprocess.CalledProcessError, FileNotFoundError) as e:
-            _lib_err = f"native library unavailable: {e}"
+        except subprocess.CalledProcessError as e:
+            # load diagnostics (C17 parity: the reference surfaces nvcc
+            # stderr on kernel build failure, compile.rs:100-114)
+            stderr = (e.stderr or b"").decode(errors="replace")[-2000:]
+            _lib_err = (
+                f"native library build failed (g++ exit {e.returncode}); "
+                f"source={os.path.abspath(_SRC)}; stderr tail:\n{stderr}"
+            )
+            _logger().error(_lib_err)
+            return None
+        except (OSError, FileNotFoundError) as e:
+            _lib_err = (
+                f"native library unavailable: {e} "
+                f"(build dir {_build_dir()}, source {os.path.abspath(_SRC)})"
+            )
+            _logger().error(_lib_err)
             return None
         u64p = ctypes.POINTER(ctypes.c_uint64)
         vp, i32, i64 = ctypes.c_void_p, ctypes.c_int, ctypes.c_long

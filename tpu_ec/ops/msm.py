@@ -231,10 +231,11 @@ def calc_chunk_size(spec: CurveSpec, hbm_budget_bytes: int | None = None) -> int
     of length n (inputs + sorted gathers + one halving generation + scan
     temporaries), i.e. ~12 * n * L * 4 bytes; we keep the same 20% head-room
     the reference reserves (multiexp.rs:23-24)."""
+    from ..config import get_config
     from ..curves.point import point_ops as _po
 
     if hbm_budget_bytes is None:
-        hbm_budget_bytes = 12 * (1 << 30)  # conservative v5e default
+        hbm_budget_bytes = get_config().msm_hbm_budget_bytes
     L = _po(spec).fq.L * spec.ext
     per_point = 12 * L * 4
     n = int(0.8 * hbm_budget_bytes) // per_point
@@ -347,13 +348,19 @@ class MultiexpKernel:
             assert signed, "sorted engine implements signed digits only"
             if n > self.chunk_size:
                 return self._multiexp_chunked(bases, scalars, window_size)
+            from ..config import get_config
+            from ..utils.log import get_logger
             from .autotune import tuned_window
             from .msm_sorted import default_window_size_sorted
 
             w = (
                 window_size
+                or get_config().msm_window
                 or tuned_window(self.spec.name, n)
                 or default_window_size_sorted(n)
+            )
+            get_logger("tpu_ec.msm").info(
+                "MSM n=%d curve=%s engine=sorted window=%d", n, self.spec.name, w
             )
             with timer.phase("msm/prepare"):
                 points, s = self._prepare_flat(bases, scalars)
@@ -378,8 +385,13 @@ class MultiexpKernel:
         """Split an oversized MSM into chunk_size pieces and sum the partial
         Jacobian results (the per-GPU serial chunk loop of
         multiexp.rs:332-366, with the host combine kept on device)."""
+        from ..utils.log import get_logger
+
         n = jax.tree_util.tree_leaves(bases)[0].shape[0]
         c = self.chunk_size
+        get_logger("tpu_ec.msm").info(
+            "MSM n=%d exceeds chunk_size=%d: %d chunks", n, c, -(-n // c)
+        )
         acc = None
         for lo in range(0, n, c):
             self._check_abort()

@@ -43,11 +43,17 @@ from ..ntt import bit_reverse_permutation, get_domain, twiddle_table_np
 from .mont import PlaneField
 
 U32 = jnp.uint32
-# radix-2^5 per launch (the reference uses 2^8, fft.rs:15).  Larger leaves
-# amortize HBM round trips further but the unrolled stage graph grows
-# linearly and the TPU compile helper OOMs near 2^7; 2^5 keeps the kernel
-# ~5 fused Montgomery muls while still cutting stage round trips 5x.
-LEAF_LOG = int(os.environ.get("TPU_EC_NTT_LEAF_LOG", "5"))
+
+
+def LEAF_LOG() -> int:
+    """Radix log2 per leaf launch (the reference uses 2^8, fft.rs:15).
+    Larger leaves amortize HBM round trips further but the unrolled stage
+    graph grows linearly and the TPU compile helper OOMs near 2^7; 2^5 keeps
+    the kernel ~5 fused Montgomery muls while still cutting stage round trips
+    5x.  Config field ``ntt_leaf_log`` (TPU_EC_NTT_LEAF_LOG env)."""
+    from ...config import get_config
+
+    return get_config().ntt_leaf_log
 
 
 # ---------------------------------------------------------------------------
@@ -118,7 +124,7 @@ def _leaf_call(spec: FieldSpec, log_m: int, btot: int, tb: int, interpret: bool)
 class FusedDomain:
     """Per-(field, log_n, inverse) constant tables for the fused NTT."""
 
-    def __init__(self, spec: FieldSpec, log_n: int, inverse: bool):
+    def __init__(self, spec: FieldSpec, log_n: int, inverse: bool, leaf: int | None = None):
         self.spec = spec
         self.log_n = log_n
         self.inverse = inverse
@@ -126,22 +132,23 @@ class FusedDomain:
         base = get_domain(spec, log_n, inverse)
         self.omega = base.omega  # canonical size-n root (inverse-adjusted)
         self.n_inv = base.n_inv if inverse else None
-        self.plan = self._plan(log_n)
+        self.leaf = leaf or LEAF_LOG()  # snapshot: plan/traces stay consistent
+        self.plan = self._plan(log_n, self.leaf)
         self._leaf_tw: dict[int, np.ndarray] = {}
         self._leaf_rev: dict[int, np.ndarray] = {}
         self._inter_tw: dict[tuple[int, int], np.ndarray] = {}
         self._build_tables()
 
     @staticmethod
-    def _plan(log_n: int) -> list[int]:
+    def _plan(log_n: int, leaf: int) -> list[int]:
         """Factor log_n into leaf-sized chunks, first factor = leaf."""
         out = []
         rest = log_n
-        while rest > LEAF_LOG:
-            out.append(LEAF_LOG)
-            rest -= LEAF_LOG
+        while rest > leaf:
+            out.append(leaf)
+            rest -= leaf
         out.append(rest)
-        return out  # e.g. 20 -> [8, 8, 4]
+        return out  # e.g. leaf=8: 20 -> [8, 8, 4]
 
     def _leaf_tables(self, log_m: int):
         """(log_m, L, m/2) DIF stage twiddles + bitrev perm for size 2^log_m
@@ -211,8 +218,12 @@ class FusedDomain:
 
 
 @functools.lru_cache(maxsize=32)
+def _fused_domain(spec: FieldSpec, log_n: int, inverse: bool, leaf: int) -> FusedDomain:
+    return FusedDomain(spec, log_n, inverse, leaf)
+
+
 def get_fused_domain(spec: FieldSpec, log_n: int, inverse: bool = False) -> FusedDomain:
-    return FusedDomain(spec, log_n, inverse)
+    return _fused_domain(spec, log_n, inverse, LEAF_LOG())
 
 
 def _leaf_apply(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool):
@@ -237,9 +248,9 @@ def _rec(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool, inter):
     up to n*L*4 bytes of literal into the program — 256 MB at 2^22 — and
     overflow compile-request limits)."""
     L, m, B = xp.shape
-    if log_m <= LEAF_LOG:
+    if log_m <= dom.leaf:
         return _leaf_apply(dom, xp, log_m, interpret)
-    log_n2 = LEAF_LOG
+    log_n2 = dom.leaf
     log_n1 = log_m - log_n2
     n1, n2 = 1 << log_n1, 1 << log_n2
     x4 = xp.reshape(L, n2, n1 * B)

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..curves.params import CurveSpec
 from ..curves.point import point_ops
 from ..ops.msm_sorted import default_window_size_sorted, msm_sorted
-from .mesh import AXIS
+
 
 tmap = jax.tree_util.tree_map
 
@@ -38,12 +38,13 @@ class DistMultiexpKernel:
         if key not in self._jitted:
             ops = self.ops
             d = self.mesh.devices.size
+            ax = self.mesh.axis_names[0]
 
             def body(points, scalars):
                 # local shard: leaves (n/d, ...) — one sorted-engine MSM
                 part = msm_sorted(ops, points, scalars, window_size=w)
                 gathered = tmap(
-                    lambda l: jax.lax.all_gather(l, AXIS, axis=0, tiled=True),
+                    lambda l: jax.lax.all_gather(l, ax, axis=0, tiled=True),
                     part,
                 )  # (d,)
                 # log-depth tree sum of the d partials, replicated result
@@ -61,7 +62,7 @@ class DistMultiexpKernel:
                 return shard_map(
                     body,
                     mesh=self.mesh,
-                    in_specs=(P(AXIS), P(AXIS)),
+                    in_specs=(P(ax), P(ax)),
                     out_specs=P(),
                     check_vma=False,
                 )(points, scalars)

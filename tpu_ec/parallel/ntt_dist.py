@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..fields.fp import field_ops
 from ..fields.params import FieldSpec, int_to_limbs
 from ..ops.ntt import Domain, _ntt_impl, get_domain
-from .mesh import AXIS
+
 
 
 class DistDomain:
@@ -94,7 +94,7 @@ class DistDomain:
             ).reshape(table.shape)
             table = np.concatenate([table, grown], axis=0)
             step = np_mont_mul(spec, step, step)
-        sharding = NamedSharding(self.mesh, P(None, AXIS))
+        sharding = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
         return jax.device_put(jnp.asarray(table), sharding)
 
 
@@ -108,6 +108,7 @@ def _dist_ntt_shard(dom: DistDomain, x_loc: jax.Array, tw_loc: jax.Array):
     (n1, n2/d, L) column-slice of the twiddle table."""
     f = dom.f
     n1, n2, d = dom.n1, dom.n2, dom.d
+    AXIS = dom.mesh.axis_names[0]
 
     # a2a #1: shard columns instead of rows -> (n1, n2/d, L)
     y = jax.lax.all_to_all(x_loc, AXIS, split_axis=1, concat_axis=0, tiled=True)
@@ -147,6 +148,7 @@ class DistFftKernel:
             dom.dom2.materialize()  # before the shard_map trace touches them
             _ = dom.n_inv
             tw = dom.twiddles
+            AXIS = self.mesh.axis_names[0]
 
             @jax.jit
             def run(x):

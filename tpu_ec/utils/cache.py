@@ -17,9 +17,12 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
-    if os.environ.get("TPU_EC_CACHE", "1") == "0":
+    from ..config import get_config
+
+    cfg = get_config()
+    if not cfg.cache:
         return None
-    path = path or os.environ.get("TPU_EC_CACHE_DIR", _DEFAULT)
+    path = path or cfg.cache_dir or _DEFAULT
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)

@@ -19,9 +19,11 @@ import os
 
 
 def _pool_size() -> int:
-    env = os.environ.get("TPU_EC_NUM_THREADS")
-    if env:
-        return max(1, int(env))
+    from ..config import get_config
+
+    n = get_config().num_threads
+    if n:
+        return max(1, n)
     return os.cpu_count() or 1
 
 

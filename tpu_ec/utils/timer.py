@@ -17,7 +17,13 @@ import os
 import threading
 import time
 
-_ENABLED = os.environ.get("TPU_EC_TIMER", "0") == "1"
+def _env_enabled() -> bool:
+    from ..config import get_config
+
+    return get_config().timer
+
+
+_ENABLED = _env_enabled()
 _LOCAL = threading.local()
 
 
