@@ -322,6 +322,20 @@ class MultiexpKernel:
             self._jitted[key] = run
         return self._jitted[key]
 
+    def _fn_coz(self, n: int, window_size: int):
+        key = ("coz", n, window_size)
+        if key not in self._jitted:
+            from .msm_coz import msm_coz
+
+            ops = self.ops
+
+            @jax.jit
+            def run(points, scalars):
+                return msm_coz(ops, points, scalars, window_size=window_size)
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
     def multiexp(
         self,
         bases,
@@ -343,29 +357,40 @@ class MultiexpKernel:
         self._check_abort()
         n = jax.tree_util.tree_leaves(bases)[0].shape[0]
         if method == "auto":
-            method = "sorted" if signed else "lattice"
-        if method == "sorted":
-            assert signed, "sorted engine implements signed digits only"
+            if not signed:
+                method = "lattice"
+            elif self.spec.ext == 1:
+                method = "coz"  # inversion-free scaled-affine engine
+            else:
+                method = "sorted"
+        if method in ("sorted", "coz"):
+            assert signed, f"{method} engine implements signed digits only"
             if n > self.chunk_size:
-                return self._multiexp_chunked(bases, scalars, window_size)
+                return self._multiexp_chunked(bases, scalars, window_size, method)
             from ..config import get_config
             from ..utils.log import get_logger
             from .autotune import tuned_window
+            from .msm_coz import default_window_size_coz
             from .msm_sorted import default_window_size_sorted
 
+            default_w = (
+                default_window_size_coz if method == "coz"
+                else default_window_size_sorted
+            )
             w = (
                 window_size
                 or get_config().msm_window
                 or tuned_window(self.spec.name, n)
-                or default_window_size_sorted(n)
+                or default_w(n)
             )
             get_logger("tpu_ec.msm").info(
-                "MSM n=%d curve=%s engine=sorted window=%d", n, self.spec.name, w
+                "MSM n=%d curve=%s engine=%s window=%d", n, self.spec.name, method, w
             )
             with timer.phase("msm/prepare"):
                 points, s = self._prepare_flat(bases, scalars)
+            fn = self._fn_coz if method == "coz" else self._fn_sorted
             with timer.phase("msm/dispatch"):
-                return self._fn_sorted(n, w)(points, s)
+                return fn(n, w)(points, s)
         w = window_size or default_window_size(n)
         with timer.phase("msm/prepare"):
             points, s, m = self.prepare_inputs(bases, scalars, G := (num_groups or default_num_groups(n, w)))
@@ -381,7 +406,7 @@ class MultiexpKernel:
         )
         return bases, s
 
-    def _multiexp_chunked(self, bases, scalars, window_size):
+    def _multiexp_chunked(self, bases, scalars, window_size, method="sorted"):
         """Split an oversized MSM into chunk_size pieces and sum the partial
         Jacobian results (the per-GPU serial chunk loop of
         multiexp.rs:332-366, with the host combine kept on device)."""
@@ -398,7 +423,7 @@ class MultiexpKernel:
             hi = min(lo + c, n)
             b = jax.tree_util.tree_map(lambda l: l[lo:hi], bases)
             part = self.multiexp(
-                b, scalars[lo:hi], window_size=window_size, method="sorted"
+                b, scalars[lo:hi], window_size=window_size, method=method
             )
             acc = part if acc is None else self.ops.add(acc, part)
         return acc
