@@ -336,6 +336,20 @@ class MultiexpKernel:
             self._jitted[key] = run
         return self._jitted[key]
 
+    def _fn_pair(self, n: int, window_size: int):
+        key = ("pair", n, window_size)
+        if key not in self._jitted:
+            from .msm_pair import msm_pair
+
+            ops = self.ops
+
+            @jax.jit
+            def run(points, scalars):
+                return msm_pair(ops, points, scalars, window_size=window_size)
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
     def multiexp(
         self,
         bases,
@@ -360,10 +374,10 @@ class MultiexpKernel:
             if not signed:
                 method = "lattice"
             elif self.spec.ext == 1:
-                method = "coz"  # inversion-free scaled-affine engine
+                method = "pair"  # movement-minimal halving engine
             else:
                 method = "sorted"
-        if method in ("sorted", "coz"):
+        if method in ("sorted", "coz", "pair"):
             assert signed, f"{method} engine implements signed digits only"
             if n > self.chunk_size:
                 return self._multiexp_chunked(bases, scalars, window_size, method)
@@ -371,12 +385,14 @@ class MultiexpKernel:
             from ..utils.log import get_logger
             from .autotune import tuned_window
             from .msm_coz import default_window_size_coz
+            from .msm_pair import default_window_size_pair
             from .msm_sorted import default_window_size_sorted
 
-            default_w = (
-                default_window_size_coz if method == "coz"
-                else default_window_size_sorted
-            )
+            default_w = {
+                "coz": default_window_size_coz,
+                "pair": default_window_size_pair,
+                "sorted": default_window_size_sorted,
+            }[method]
             w = (
                 window_size
                 or get_config().msm_window
@@ -388,7 +404,11 @@ class MultiexpKernel:
             )
             with timer.phase("msm/prepare"):
                 points, s = self._prepare_flat(bases, scalars)
-            fn = self._fn_coz if method == "coz" else self._fn_sorted
+            fn = {
+                "coz": self._fn_coz,
+                "pair": self._fn_pair,
+                "sorted": self._fn_sorted,
+            }[method]
             with timer.phase("msm/dispatch"):
                 return fn(n, w)(points, s)
         w = window_size or default_window_size(n)
@@ -437,13 +457,49 @@ class MultiexpKernel:
         window_size: int | None = None,
         num_groups: int | None = None,
         signed: bool = True,
+        method: str = "auto",
     ):
         """num_chunks independent MSMs over equal slices of ``bases``
         (ag-cuda-ec/src/multiexp.rs:21-81 parity: scalars has one row of
-        exps per chunk).  Returns a Jacobian batch of num_chunks points."""
+        exps per chunk).  Returns a Jacobian batch of num_chunks points.
+
+        Like the fork's single-launch batch kernel
+        (`ag-build/cl/multiexp.cl:217-263` runs num_chunks x num_lines MSMs
+        in ONE launch), the whole batch compiles to ONE XLA program: a
+        `lax.map` over the chunk axis sharing one pair-engine body.  Other
+        engines fall back to a per-chunk dispatch loop."""
         n = jax.tree_util.tree_leaves(bases)[0].shape[0]
         chunk = n // num_chunks
         assert chunk * num_chunks == n, "bases must split evenly into chunks"
+        if method == "auto" and signed and self.spec.ext == 1:
+            method = "pair"
+        if method == "pair":
+            from .msm_pair import default_window_size_pair, msm_pair
+
+            self._check_abort()
+            w = window_size or default_window_size_pair(chunk)
+            key = ("pair_batch", num_chunks, chunk, w)
+            if key not in self._jitted:
+                ops = self.ops
+
+                @jax.jit
+                def run(points, scalars_):
+                    def body(args):
+                        b, s = args
+                        return msm_pair(ops, b, s, window_size=w)
+
+                    return jax.lax.map(body, (points, scalars_))
+
+                self._jitted[key] = run
+            pts = jax.tree_util.tree_map(
+                lambda l: l.reshape((num_chunks, chunk) + l.shape[1:]), bases
+            )
+            s = jnp.concatenate(
+                [scalars, jnp.zeros(scalars.shape[:-1] + (1,), scalars.dtype)],
+                axis=-1,
+            ).reshape(num_chunks, chunk, -1)
+            out = self._jitted[key](pts, s)  # leaves (num_chunks, 1, L)
+            return jax.tree_util.tree_map(lambda l: l[:, 0], out)
         outs = []
         for c in range(num_chunks):
             self._check_abort()
