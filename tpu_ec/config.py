@@ -80,6 +80,13 @@ class Config:
     min_devices: int = 1
     # library log level name for utils/log (fil_logger/RUST_LOG parity)
     log_level: str = "WARNING"
+    # in-kernel Montgomery formulation for the NTT/mont kernels: "pad"
+    # (plane layout — measured faster for the Fr leaf's small limb tiles)
+    # or "list" (limb-list direct accumulation)
+    mont_impl: str = "pad"
+    # formulation for the fused EC point kernels: "list" measured ~20%
+    # faster than "pad" for Fq (381-bit) adds at blk=128; bit-identical
+    ec_impl: str = "list"
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -97,6 +104,8 @@ class Config:
             mesh_axis=os.environ.get("TPU_EC_MESH_AXIS", "shards"),
             min_devices=_env_int("TPU_EC_MIN_DEVICES", 1) or 1,
             log_level=os.environ.get("TPU_EC_LOG", "WARNING"),
+            mont_impl=os.environ.get("TPU_EC_MONT_IMPL", "pad"),
+            ec_impl=os.environ.get("TPU_EC_EC_IMPL", "list"),
         )
 
 

@@ -161,6 +161,174 @@ class PlaneField:
 
 
 # ---------------------------------------------------------------------------
+# Limb-list arithmetic — the low-op-count in-kernel formulation.
+#
+# A batch of field elements is a *python list* of L equal-shaped uint32
+# arrays (one per 16-bit half-limb), so every vector op runs on a full
+# (sublane, lane)-tiled array with zero sublane waste, partial products
+# accumulate by direct indexed adds (no pad-materialized shifts, no scratch
+# read-modify-write traffic — ~2x fewer lane-ops than the plane path), and
+# the field constants appear as inline scalar literals instead of constant
+# refs.  Carry chains are sequential (3 ops/limb); inside a kernel the batch
+# dimension provides the ILP to hide their latency.
+# ---------------------------------------------------------------------------
+
+
+def to_rows(x: jax.Array) -> list[jax.Array]:
+    """(L, ...) plane array (or ref slice source) -> list of L limb arrays."""
+    return [x[i] for i in range(x.shape[0])]
+
+
+def from_rows(rows: list[jax.Array]) -> jax.Array:
+    return jnp.stack(rows, axis=0)
+
+
+def _carry_norm(cols, n_out: int):
+    """Sequential base-2^16 carry over column values (< 2^31 each);
+    returns exactly n_out digit arrays (drops higher carries — callers
+    guarantee they are zero or deliberately truncated)."""
+    out = []
+    carry = None
+    for k in range(n_out):
+        v = cols[k] if k < len(cols) else None
+        if v is None:
+            v = carry
+            carry = None
+        elif carry is not None:
+            v = v + carry
+        if v is None:
+            v = jnp.zeros_like(cols[0])
+        out.append(v & MASK)
+        carry = v >> LIMB_BITS
+    return out
+
+
+def _borrow_sub(a, b_const_or_rows):
+    """a - b over limb lists (b may be a list of python ints); returns
+    (digits, ok) where ok = 1 where no final borrow (a >= b)."""
+    out = []
+    borrow = None  # "not-borrow" carry encoding: t>>16 is 1 when no borrow
+    for i, x in enumerate(a):
+        y = b_const_or_rows[i]
+        base = (1 << LIMB_BITS) if borrow is None else ((1 << LIMB_BITS) - 1)
+        if isinstance(y, (int, np.integer)):
+            t = x + (base - int(y)) if borrow is None else x + (base - int(y)) + borrow
+        else:
+            t = (x + base - y) if borrow is None else x + (base - y) + borrow
+        out.append(t & MASK)
+        borrow = t >> LIMB_BITS
+    return out, borrow
+
+
+class ListField:
+    """In-kernel field ops on limb lists, bound to one FieldSpec.
+
+    The modulus / nprime digits are baked in as scalar literals; there are
+    no constant operands to thread through pallas_call (contrast
+    PlaneField.consts)."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.L = spec.n_limbs
+        self.p_digits = [int(v) for v in spec.p_limbs]
+        self.np_digits = [int(v) for v in spec.nprime_limbs]
+
+    def zero_like(self, a):
+        return [jnp.zeros_like(a[0]) for _ in range(self.L)]
+
+    def cond_sub_p(self, t):
+        d, ok = _borrow_sub(t, self.p_digits)
+        return [jnp.where(ok == 1, x, y) for x, y in zip(d, t)]
+
+    def add(self, a, b):
+        s = [x + y for x, y in zip(a, b)]
+        return self.cond_sub_p(_carry_norm(s, self.L))
+
+    def sub(self, a, b):
+        d, ok = _borrow_sub(a, b)
+        wrapped = _carry_norm(
+            [x + int(pd) for x, pd in zip(d, self.p_digits)], self.L
+        )
+        return [jnp.where(ok == 1, x, y) for x, y in zip(d, wrapped)]
+
+    def double(self, a):
+        return self.add(a, a)
+
+    @staticmethod
+    def _prod_cols(a, b, top: int):
+        """Column sums of the schoolbook product, direct accumulation.
+        b entries may be python ints (constant operand)."""
+        c = [None] * (top + 1)
+
+        def acc(k, v):
+            c[k] = v if c[k] is None else c[k] + v
+
+        for i in range(len(a)):
+            for j in range(len(b)):
+                k = i + j
+                if k >= top:
+                    continue
+                y = b[j]
+                if isinstance(y, (int, np.integer)):
+                    if int(y) == 0:
+                        continue
+                    prod = a[i] * np.uint32(y)
+                else:
+                    prod = a[i] * y
+                acc(k, prod & MASK)
+                acc(k + 1, prod >> LIMB_BITS)
+        z = None
+        out = []
+        for v in c[:top]:
+            if v is None:
+                if z is None:
+                    z = jnp.zeros_like(a[0])
+                v = z
+            out.append(v)
+        return out
+
+    def mul(self, a, b):
+        """SOS Montgomery product of two limb lists (16-bit digits,
+        R = 2^(16L) — same algebra/domain as PlaneField.mul)."""
+        L = self.L
+        t = self._prod_cols(a, b, 2 * L)  # cols < 2L * 2^16
+        t_dig = _carry_norm(t, 2 * L)  # t < p^2 -> fits 2L digits
+        m_cols = self._prod_cols(t_dig[:L], self.np_digits, L)
+        m = _carry_norm(m_cols, L)
+        mp = self._prod_cols(m, self.p_digits, 2 * L)
+        u = [x + y for x, y in zip(t_dig, mp)]
+        u_dig = _carry_norm(u, 2 * L + 1)  # u/R < 2p may need the top carry
+        return self._final(u_dig, L)
+
+    def _final(self, u_dig, L):
+        # u = t + m*p with u mod R == 0; result = u / R < 2p.  2p may exceed
+        # R for tight moduli, so keep the (2L)th digit in the compare.
+        hi = u_dig[L : 2 * L]
+        top = u_dig[2 * L]
+        d, ok = _borrow_sub(hi, self.p_digits)
+        # a >= p iff top > 0 or no borrow
+        take_d = (top > 0) | (ok == 1)
+        return [jnp.where(take_d, x, y) for x, y in zip(d, hi)]
+
+    def sqr(self, a):
+        return self.mul(a, a)
+
+    def is_zero(self, a):
+        z = a[0] == 0
+        for x in a[1:]:
+            z = z & (x == 0)
+        return z
+
+    def select(self, cond, a, b):
+        return [jnp.where(cond, x, y) for x, y in zip(a, b)]
+
+
+@functools.lru_cache(maxsize=None)
+def list_field(spec: FieldSpec) -> ListField:
+    return ListField(spec)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -191,15 +359,57 @@ def _mont_mul_call(spec: FieldSpec, n: int, block: int, interpret: bool):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _mont_mul_call_list(spec: FieldSpec, n8: int, block: int, interpret: bool):
+    """List-formulation mont mul on (L, 8, n8) blocks (limb arrays are full
+    (8, block) tiles; constants inline — no const refs)."""
+    lf = list_field(spec)
+    L = lf.L
+
+    def kernel(a_ref, b_ref, o_ref):
+        out = lf.mul([a_ref[i] for i in range(L)], [b_ref[i] for i in range(L)])
+        for i in range(L):
+            o_ref[i] = out[i]
+
+    bspec = pl.BlockSpec((L, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, 8, n8), jnp.uint32),
+        grid=(n8 // block,),
+        in_specs=[bspec, bspec],
+        out_specs=bspec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(n8) * 8 * (3 * L * L * 2 + 16 * L),
+            bytes_accessed=3 * n8 * 8 * L * 4,
+            transcendentals=0,
+        ),
+    )
+
+
 def mont_mul_planes(
     spec: FieldSpec, a: jax.Array, b: jax.Array, *, block: int = DEFAULT_BLOCK,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Montgomery product of two (L, N) limb-plane batches (one fused HBM
     pass).  N is padded to the block size internally."""
+    from ...config import get_config
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     L, n = a.shape
+    if get_config().mont_impl == "list":
+        unit = 8 * block
+        npad = -(-n // unit) * unit
+        if npad != n:
+            pad = ((0, 0), (0, npad - n))
+            a = jnp.pad(a, pad)
+            b = jnp.pad(b, pad)
+        n8 = npad // 8
+        out = _mont_mul_call_list(spec, n8, block, interpret)(
+            a.reshape(L, 8, n8), b.reshape(L, 8, n8)
+        )
+        return out.reshape(L, npad)[:, :n]
     npad = -(-n // block) * block
     if npad != n:
         pad = ((0, 0), (0, npad - n))

@@ -93,8 +93,9 @@ class PallasFftKernel:
             small[:, :, None], (L, half // step, step)
         ).reshape(L, half)
 
-    def _fn(self, log_n: int, inverse: bool):
-        key = (log_n, inverse)
+    def _fn(self, log_n: int, inverse: bool, donate: bool = False):
+        key = (log_n, inverse, donate)
+        donate_kw = {"donate_argnums": (0,)} if donate else {}
         if key not in self._jitted:
             if log_n > 9:
                 # fused multi-stage path: radix-2^LEAF leaves, one HBM round
@@ -111,7 +112,7 @@ class PallasFftKernel:
                 }
                 spec, interp = self.spec, self.interpret
 
-                @jax.jit
+                @functools.partial(jax.jit, **donate_kw)
                 def run_fused(xp, inter):
                     return fused_ntt_planes(
                         spec, xp, inverse, interpret=interp, inter=inter
@@ -147,15 +148,22 @@ class PallasFftKernel:
                     )
                 return y
 
-            self._jitted[key] = jax.jit(run)
+            self._jitted[key] = jax.jit(run, **donate_kw)
         return self._jitted[key]
 
-    def radix_fft_planes(self, xp: jax.Array, inverse: bool = False) -> jax.Array:
+    def radix_fft_planes(
+        self, xp: jax.Array, inverse: bool = False, *, donate: bool = False
+    ) -> jax.Array:
+        """NTT over (L, n) planes.  ``donate=True`` donates the input buffer
+        to XLA (DeviceParam::swap_device_pointer parity,
+        ag-cuda-proxy/src/params.rs:141-163): at 2^26 this halves the
+        transform's HBM watermark.  The caller's ``xp`` is consumed —
+        only pass arrays you will not reuse."""
         n = xp.shape[1]
         log_n = int(n).bit_length() - 1
         if 1 << log_n != n:
             raise ValueError("FFT size must be a power of two")
-        return self._fn(log_n, inverse)(xp)
+        return self._fn(log_n, inverse, donate)(xp)
 
     def radix_fft(self, x: jax.Array, inverse: bool = False) -> jax.Array:
         return from_planes(self.radix_fft_planes(to_planes(x), inverse))

@@ -121,6 +121,60 @@ def _leaf_call(spec: FieldSpec, log_m: int, btot: int, tb: int, interpret: bool)
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _leaf_call_list(spec: FieldSpec, log_m: int, btot: int, tb: int, interpret: bool):
+    """Limb-list formulation of the DIF leaf (see ops/pallas/mont.ListField):
+    every stage op runs on full (m-ish, TB) tiles per limb, partial products
+    accumulate directly, and the field constants are inline literals."""
+    from .mont import list_field
+
+    lf = list_field(spec)
+    L = lf.L
+    m = 1 << log_m
+
+    def kernel(tw_ref, x_ref, o_ref):
+        # per stage, view each limb as (nb, q2, TB): halves are contiguous
+        # middle-axis slices and the interleaved writeback is a stack +
+        # reshape — no concat chains (Mosaic compiles those poorly).
+        v = [x_ref[i] for i in range(L)]  # each (m, TB)
+        for s in range(log_m):
+            nb = 1 << s
+            q2 = m >> s
+            q = q2 // 2
+            v4 = [vi.reshape(nb, q2, tb) for vi in v]
+            a = [vi[:, :q, :] for vi in v4]
+            b = [vi[:, q:, :] for vi in v4]
+            # stage twiddle at in-block pair j is W_m^(j << s): the first q
+            # entries of the stage-s table row (block-independent)
+            tw = [tw_ref[s, i][:q][None, :, None] for i in range(L)]
+            u = lf.add(a, b)
+            w = lf.mul(lf.sub(a, b), tw)
+            v = [
+                jnp.stack([ui, wi], axis=1).reshape(m, tb)
+                for ui, wi in zip(u, w)
+            ]
+        for i in range(L):
+            o_ref[i] = v[i]
+
+    bspec = pl.BlockSpec((L, m, tb), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(
+        (log_m, L, m // 2), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((L, m, btot), U32),
+        grid=(btot // tb,),
+        in_specs=[tspec, bspec],
+        out_specs=bspec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(btot) * m // 2 * log_m * (3 * L * L * 2 + 40 * L),
+            bytes_accessed=2 * btot * m * L * 4,
+            transcendentals=0,
+        ),
+    )
+
+
 class FusedDomain:
     """Per-(field, log_n, inverse) constant tables for the fused NTT."""
 
@@ -228,15 +282,20 @@ def get_fused_domain(spec: FieldSpec, log_n: int, inverse: bool = False) -> Fuse
 
 def _leaf_apply(dom: FusedDomain, xp: jax.Array, log_m: int, interpret: bool):
     """Full NTT of length 2^log_m along axis 1 of (L, m, B); natural order."""
+    from ...config import get_config
+
     L, m, B = xp.shape
     if log_m == 0:
         return xp
     tb = min(128, B)
     while B % tb:
         tb //= 2
-    pc, nc = dom.f.consts()
     tw = jnp.asarray(dom._leaf_tw[log_m])
-    y = _leaf_call(dom.spec, log_m, B, tb, interpret)(pc, nc, tw, xp)
+    if get_config().mont_impl == "list":
+        y = _leaf_call_list(dom.spec, log_m, B, tb, interpret)(tw, xp)
+    else:
+        pc, nc = dom.f.consts()
+        y = _leaf_call(dom.spec, log_m, B, tb, interpret)(pc, nc, tw, xp)
     rev = jnp.asarray(dom._leaf_rev[log_m])
     return y[:, rev, :]
 

@@ -74,6 +74,10 @@ class PlanePointField:
             def select(cond, a, b):
                 return jnp.where(cond, a, b)  # cond (1, N) broadcasts
 
+            @staticmethod
+            def zeros_like(a):
+                return jnp.zeros_like(a)
+
         return F
 
 
@@ -142,7 +146,7 @@ def _add_mixed_body(F, one_plane, X1, Y1, Z1, X2, Y2):
     i2 = F.is_zero(X2) & F.is_zero(Y2)
     same = (~i1) & (~i2) & F.is_zero(H) & F.is_zero(rr)
     dX, dY, dZ = _double_body(F, X1, Y1, Z1)
-    zq = F.select(i2, jnp.zeros_like(Z1), one_plane)  # affine -> jacobian z
+    zq = F.select(i2, F.zeros_like(Z1), one_plane)  # affine -> jacobian z
     out = []
     for r, d, a, b in (
         (X3, dX, X1, X2),
@@ -197,6 +201,84 @@ def _point_call(spec: FieldSpec, op: str, n: int, block: int, interpret: bool):
     )
 
 
+class _ListF:
+    """ListField facade with the same op surface the bodies use, over
+    limb *lists* (see mont.ListField): full-tile ops, inline constants."""
+
+    def __init__(self, spec: FieldSpec):
+        from .mont import list_field
+
+        self.lf = list_field(spec)
+        self.one_digits = [int(v) for v in spec.one_limbs]
+
+    def add(self, a, b):
+        return self.lf.add(a, b)
+
+    def sub(self, a, b):
+        return self.lf.sub(a, b)
+
+    def mul(self, a, b):
+        return self.lf.mul(a, b)
+
+    def sqr(self, a):
+        return self.lf.mul(a, a)
+
+    def double(self, a):
+        return self.lf.add(a, a)
+
+    def is_zero(self, a):
+        return self.lf.is_zero(a)  # (batch-shaped bool)
+
+    def select(self, cond, a, b):
+        if isinstance(a, list) or isinstance(b, list):
+            ar = a if isinstance(a, list) else [a] * len(b)
+            br = b if isinstance(b, list) else [b] * len(a)
+            return [jnp.where(cond, x, y) for x, y in zip(ar, br)]
+        return jnp.where(cond, a, b)
+
+    def zeros_like(self, a):
+        return [jnp.zeros_like(x) for x in a]
+
+
+@functools.lru_cache(maxsize=None)
+def _point_call_list(spec: FieldSpec, op: str, n8: int, block: int, interpret: bool):
+    """List-formulation point kernel on (L, 8, n8) blocks."""
+    F = _ListF(spec)
+    L = spec.n_limbs
+    n_in = {"add": 6, "add_mixed": 5, "double": 3}[op]
+
+    def kernel(*refs):
+        ins = [[r[i] for i in range(L)] for r in refs[:n_in]]
+        outs = refs[n_in:]
+        if op == "add":
+            res = _add_body(F, *ins)
+        elif op == "add_mixed":
+            one = [jnp.full_like(ins[0][0], d) for d in F.one_digits]
+            res = _add_mixed_body(F, one, *ins)
+        else:
+            res = _double_body(F, *ins)
+        for o, rows in zip(outs, res):
+            for i in range(L):
+                o[i] = rows[i]
+
+    bspec = pl.BlockSpec((L, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, 8, n8), U32)
+    muls = {"add": 23, "add_mixed": 19, "double": 7}[op]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape,) * 3,
+        grid=(n8 // block,),
+        in_specs=[bspec] * n_in,
+        out_specs=(bspec,) * 3,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(n8) * 8 * muls * (3 * L * L * 2 + 16 * L),
+            bytes_accessed=(n_in + 3) * n8 * 8 * L * 4,
+            transcendentals=0,
+        ),
+    )
+
+
 def _consts(spec: FieldSpec, with_one: bool):
     p = jnp.asarray(np.asarray(spec.p_limbs, np.uint32)[:, None])
     npr = jnp.asarray(np.asarray(spec.nprime_limbs, np.uint32)[:, None])
@@ -210,9 +292,25 @@ def _run(spec: FieldSpec, op: str, coords, *, block: int, interpret: bool | None
     """coords: list of (n, L) arrays (AoS at the boundary; transposed to
     planes around the kernel — the transposes are HBM-bound and ~10x
     cheaper than the fused arithmetic inside)."""
+    from ...config import get_config
+
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n, L = coords[0].shape
+    if get_config().ec_impl == "list":
+        blk = min(block, 128)
+        unit = 8 * blk
+        npad = -(-n // unit) * unit
+        planes = []
+        for c in coords:
+            t = jnp.swapaxes(c, 0, 1)
+            if npad != n:
+                t = jnp.pad(t, ((0, 0), (0, npad - n)))
+            planes.append(t.reshape(L, 8, npad // 8))
+        outs = _point_call_list(spec, op, npad // 8, blk, interpret)(*planes)
+        return tuple(
+            jnp.swapaxes(o.reshape(L, npad)[:, :n], 0, 1) for o in outs
+        )
     blk = min(block, max(128, 1 << (n - 1).bit_length() if n > 1 else 128))
     npad = -(-n // blk) * blk
     planes = []
