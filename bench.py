@@ -48,10 +48,35 @@ def main():
 
     kern = PallasFftKernel(BLS12_381_FR)
     y = kern.radix_fft_planes(xp)
-    # correctness gate: inverse(forward(x)) == x, bit-exact, on device
+    # correctness gate 1: inverse(forward(x)) == x, bit-exact, on device
     x2 = kern.radix_fft_planes(y, inverse=True)
     ok = jax.jit(lambda a, b: jnp.all(a == b))(x2, xp)
     assert bool(jax.device_get(ok)), "NTT roundtrip mismatch — bench aborted"
+    # correctness gate 2: FORWARD output vs an independent oracle at 2^12
+    # (a self-inverting permutation/twiddle bug would pass the roundtrip)
+    try:
+        from tpu_ec.native import available, native_field
+
+        has_native = available()
+    except Exception:
+        has_native = False
+    ns = 1 << 12
+    xs = xp[:, :ns]
+    ys = np.asarray(jax.device_get(kern.radix_fft_planes(xs)))
+    if has_native:
+        nf = native_field(BLS12_381_FR)
+        want = nf.to_halflimbs(nf.ntt(nf.from_halflimbs(np.ascontiguousarray(np.asarray(jax.device_get(xs)).T))))
+        assert np.array_equal(ys.T, want), "NTT 2^12 forward != native oracle"
+    else:
+        # spot-check the first 8 outputs against the bigint oracle
+        from tpu_ec.ops.ntt import ntt_ref
+
+        xh = np.asarray(jax.device_get(xs))
+        to_int = lambda col: int(sum(int(v) << (16 * i) for i, v in enumerate(col)))
+        full = [f.spec.from_mont(to_int(xh[:, j])) for j in range(ns)]
+        want_head = ntt_ref(f.spec, full)[:8]
+        got_head = [f.spec.from_mont(to_int(ys[:, j])) for j in range(8)]
+        assert got_head == want_head, "NTT 2^12 forward != bigint oracle"
 
     dt = timeit(kern.radix_fft_planes, xp, iters=5, warmup=1)
     # one pass reads+writes n*L*4 bytes per stage at minimum; use the single

@@ -14,7 +14,7 @@ import sys
 
 from tpu_ec.curves.params import BLS12_381_G1
 from tpu_ec.ops.msm import MultiexpKernel
-from tpu_ec.ops.msm_sorted import default_window_size_sorted
+from tpu_ec.ops.msm_pair import default_window_size_pair
 from tpu_ec.utils.cache import enable_compilation_cache
 from tpu_ec.utils.measure import timeit
 
@@ -37,14 +37,14 @@ def main(log_ns):
     for log_n in log_ns:
         n = 1 << log_n
         bases, scalars, _, _ = gen_inputs(n, seed=100 + log_n)
-        w0 = default_window_size_sorted(n)
+        w0 = default_window_size_pair(n)
         best_w, best_dt = None, float("inf")
-        for w in range(max(2, w0 - 2), min(16, w0 + 2) + 1):
+        for w in range(max(2, w0 - 1), min(16, w0 + 1) + 1):
             dt = timeit(
                 lambda: kern.multiexp(bases, scalars, window_size=w),
                 iters=2,
                 warmup=1,
-            )
+            )  # each w is a fresh ~10-20 min compile through the tunnel
             print(f"2^{log_n} w={w}: {n/dt/1e6:.3f} M pts/s ({dt*1e3:.1f} ms)")
             if dt < best_dt:
                 best_w, best_dt = w, dt

@@ -17,13 +17,15 @@ collectives can only improve it):
   spread over d chips; comm = 3 all_to_alls, each sending (d-1)/d of the
   local shard across ICI: 3 * (n/d) * (d-1)/d * bytes_per_elem per chip.
 
-  MSM (parallel/msm_dist.py): compute = ~1.15 * (n/d) * W point-adds per
-  chip (sorted engine, ops/msm_sorted.py) + combine; comm = one all_gather
-  of d Jacobian points — negligible, so MSM efficiency is bounded by the
-  window-count penalty of sharding: W(n/d)/W(n) windows do not shrink with
-  d, i.e. eff ~= cost_model(n)/ (d * cost_model(n/d)).
+  MSM (parallel/msm_dist.py, r3 bucket-combine design): per-chip compute =
+  W*n/d accumulation at the GLOBAL window size + ~W*B recursive-halving
+  combine adds + W*(B/d)*2*log2(B/d) tail on the owned bucket slice; comm =
+  ~W*B*288*(1-1/d) bytes of ppermute traffic.  Every term scales with d —
+  this is what lifted d=16 from 0.766 (r2, per-shard full tails) to >=0.98.
 
-Usage: python scripts/scaling_harness.py  (CPU; writes SCALING.json)
+Usage: python scripts/scaling_harness.py [--estimates-only]
+       (CPU; writes SCALING.json; --estimates-only reuses the recorded
+       virtual-mesh validation instead of re-running the slow CPU compiles)
 """
 
 import json
@@ -44,9 +46,12 @@ import random
 
 import numpy as np
 
-# -- measured single-chip constants (from scripts/bench_mont_tpu.py and
+# -- measured single-chip constants (from bench.py and
 # scripts/bench_msm_tpu.py on the v5e; update when kernels improve) --------
-MULMOD_PER_S = 232.8e6  # Fr Montgomery mul/s, Pallas plane kernel @ 2^20
+# effective Fr mulmod rate inside the fused NTT (r3: 31.1M elem/s at 2^20
+# = ~13.5M muls / 33.6 ms — the 5-stage VMEM-resident leaves amortize far
+# better than the standalone mont kernel's ~150M/s):
+MULMOD_PER_S = 4.0e8
 # v5e ICI: 4 links/chip, ~186 GB/s/dir aggregate; all_to_all effective
 # per-chip egress bandwidth (conservative):
 ICI_BYTES_PER_S = 9.0e10
@@ -71,30 +76,49 @@ def ntt_efficiency(log_n: int, d: int) -> dict:
     }
 
 
-def _msm_cost(n: int) -> float:
-    """Sorted-engine point-add count model (ops/msm_sorted.py docstring)."""
-    from tpu_ec.ops.msm_sorted import default_window_size_sorted
+# pair-engine per-point-add effective time, calibrated from the committed
+# TPU bench (BENCH artifacts): 2^18 at w=13 ran 1.953 s over
+# W*(n + 2*B*log2(B)) = 20*(262144 + 106496) add-equivalents -> ~265 ns.
+T_ADD_S = 265e-9
+JAC_BYTES = 3 * 24 * 4  # fused Jacobian bucket row (Fq, 24 halflimbs)
 
-    w = default_window_size_sorted(n)
+
+def _msm_terms(n: int, d: int, w: int):
+    """Per-chip add-equivalents of the bucket-combine distributed pair
+    engine (parallel/msm_dist.py): accumulation at the GLOBAL window size,
+    recursive-halving bucket combine, tail on the owned 1/d slice."""
     W = -(-256 // w)
     B = 1 << (w - 1)
-    return W * (1.1 * n + 3 * B * max(1, w - 1))
+    acc = W * n / d
+    combine = W * B * (1 - 1 / d) if d > 1 else 0
+    own = max(1, B // d)
+    tail = W * own * 2 * max(1, int(math.log2(max(2, own))))
+    comm_bytes = W * B * JAC_BYTES * (1 - 1 / d) if d > 1 else 0
+    return acc, combine, tail, comm_bytes
 
 
 def msm_efficiency(log_n: int, d: int) -> dict:
+    from tpu_ec.ops.msm_pair import default_window_size_pair
+
     n = 1 << log_n
-    cost1 = _msm_cost(n)
-    cost_d = _msm_cost(n // d)
-    # comm: all_gather of d Jacobian points (3 coords, Fq = 24 halflimbs)
-    gather_bytes = d * 3 * 24 * 4
-    t_comm = gather_bytes / ICI_BYTES_PER_S
-    eff = cost1 / (d * cost_d)  # window-count penalty; comm negligible
+    w = default_window_size_pair(n)
+    W = -(-256 // w)
+    B = 1 << (w - 1)
+    adds1 = W * (n + 2 * B * max(1, int(math.log2(B))))
+    t1 = adds1 * T_ADD_S
+    acc, combine, tail, comm_bytes = _msm_terms(n, d, w)
+    t_comp = (acc + combine + tail) * T_ADD_S
+    t_comm = comm_bytes / ICI_BYTES_PER_S
+    t_d = t_comp + t_comm
+    eff = t1 / (d * t_d)
     return {
         "config": f"g1_msm_2^{log_n}",
         "devices": d,
-        "per_device_point_adds": int(cost_d),
-        "collective_bytes_per_device": gather_bytes,
-        "t_comm_s": round(t_comm, 9),
+        "window": w,
+        "per_device_point_adds": int(acc + combine + tail),
+        "collective_bytes_per_device": int(comm_bytes),
+        "t_compute_s": round(t_comp, 4),
+        "t_comm_s": round(t_comm, 6),
         "est_efficiency": round(min(1.0, eff), 4),
     }
 
@@ -138,13 +162,24 @@ def validate_virtual_mesh() -> list:
 
 
 def main():
+    est_only = "--estimates-only" in sys.argv
+    prev_validation = None
+    out_path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "SCALING.json")
+    )
+    if est_only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev_validation = json.load(fh).get("virtual_mesh_validation")
     report = {
         "model_constants": {
             "mulmod_per_s_per_chip": MULMOD_PER_S,
+            "msm_t_add_s": T_ADD_S,
             "ici_bytes_per_s_per_chip": ICI_BYTES_PER_S,
             "assumption": "no compute/comm overlap (lower bound)",
         },
-        "virtual_mesh_validation": validate_virtual_mesh(),
+        "virtual_mesh_validation": prev_validation
+        if est_only
+        else validate_virtual_mesh(),
         "estimates": [
             ntt_efficiency(26, 8),
             ntt_efficiency(26, 16),

@@ -72,3 +72,27 @@ def test_dist_msm(mesh):
     )
     got = ops.to_affine_ints(ops.to_affine(out))[0]
     assert got == oracle.msm(spec, pts, ks)
+
+
+def test_dist_ec_fft_many(mesh):
+    """Sharded batched EC-FFT == single-chip batched EC-FFT, bit-exact
+    (the multi-GPU batch distribution of ec_fft.rs:241-279)."""
+    from tpu_ec.ops.ec_fft import EcFftKernel
+    from tpu_ec.parallel import DistEcFftKernel
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n, B = 16, 8
+    batches = []
+    for b in range(B):
+        pts = oracle.random_points(spec, n, seed=70 + b)
+        A = ops.from_affine_ints(pts)
+        batches.append(ops.to_jacobian(A))
+    stacked = jax.tree_util.tree_map(lambda *ls: np.stack(ls), *batches)
+    stacked = jax.tree_util.tree_map(jax.numpy.asarray, stacked)
+    want = EcFftKernel(spec).radix_ec_fft_many(stacked)
+    got = DistEcFftKernel(spec, mesh).radix_ec_fft_many(stacked)
+    for g, w_ in zip(
+        jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
+    ):
+        assert (np.asarray(jax.device_get(g)) == np.asarray(jax.device_get(w_))).all()

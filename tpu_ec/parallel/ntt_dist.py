@@ -140,8 +140,8 @@ class DistFftKernel:
         self.mesh = mesh
         self._jitted = {}
 
-    def _fn(self, log_n: int, inverse: bool):
-        key = (log_n, inverse)
+    def _fn(self, log_n: int, inverse: bool, donate: bool = False):
+        key = (log_n, inverse, donate)
         if key not in self._jitted:
             dom = _get_dist_domain(self.spec, log_n, self.mesh, inverse)
             dom.dom1.materialize()  # sub-domain tables must be concrete
@@ -150,7 +150,11 @@ class DistFftKernel:
             tw = dom.twiddles
             AXIS = self.mesh.axis_names[0]
 
-            @jax.jit
+            # donate_argnums: the 2^26 input shard need not coexist with
+            # the output (swap_device_pointer parity, params.rs:141-163)
+            @functools.partial(
+                jax.jit, **({"donate_argnums": (0,)} if donate else {})
+            )
             def run(x):
                 x2 = x.reshape(dom.n1, dom.n2, self.f.L)
                 body = functools.partial(_dist_ntt_shard, dom)
@@ -166,10 +170,12 @@ class DistFftKernel:
             self._jitted[key] = (run, dom)
         return self._jitted[key]
 
-    def radix_fft(self, x: jax.Array, inverse: bool = False) -> jax.Array:
+    def radix_fft(
+        self, x: jax.Array, inverse: bool = False, *, donate: bool = False
+    ) -> jax.Array:
         n = x.shape[0]
         log_n = int(n).bit_length() - 1
         if 1 << log_n != n:
             raise ValueError("size must be a power of two")
-        fn, _ = self._fn(log_n, inverse)
+        fn, _ = self._fn(log_n, inverse, donate)
         return fn(x)
