@@ -87,6 +87,10 @@ class Config:
     # formulation for the fused EC point kernels: "list" measured ~20%
     # faster than "pad" for Fq (381-bit) adds at blk=128; bit-identical
     ec_impl: str = "list"
+    # distributed-MSM bucket accumulation: "scan" (compile-light masked
+    # segmented scan, ~10 point-op instances — what the virtual-mesh dryrun
+    # and CI need) or "pair" (compute-optimal pair-halving, heavy compile)
+    dist_msm_accum: str = "scan"
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -97,7 +101,8 @@ class Config:
             cache_dir=os.environ.get("TPU_EC_CACHE_DIR") or None,
             native_build_dir=os.environ.get("TPU_EC_NATIVE_BUILD_DIR") or None,
             ntt_leaf_log=_env_int("TPU_EC_NTT_LEAF_LOG", 5) or 5,
-            pallas_ec_min=_env_int("TPU_EC_PALLAS_EC_MIN", 1024) or 1024,
+            # NOTE: no `or default` here — an explicit 0 means "disable"
+            pallas_ec_min=_env_int("TPU_EC_PALLAS_EC_MIN", 1024),
             msm_window=_env_int("TPU_EC_MSM_WINDOW", None),
             msm_hbm_budget_bytes=_env_int("TPU_EC_HBM_BUDGET", 12 * (1 << 30))
             or 12 * (1 << 30),
@@ -106,6 +111,7 @@ class Config:
             log_level=os.environ.get("TPU_EC_LOG", "WARNING"),
             mont_impl=os.environ.get("TPU_EC_MONT_IMPL", "pad"),
             ec_impl=os.environ.get("TPU_EC_EC_IMPL", "list"),
+            dist_msm_accum=os.environ.get("TPU_EC_DIST_MSM_ACCUM", "scan"),
         )
 
 

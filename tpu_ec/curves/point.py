@@ -95,9 +95,17 @@ class PointOps:
     # -- Pallas fused-kernel dispatch ----------------------------------------
 
     def _pallas_batch(self, P) -> int:
-        """Flattenable batch size if the fused kernel applies, else 0."""
+        """Flattenable batch size if the fused kernel applies, else 0.
+
+        CPU backend always takes the jnp path: Pallas-interpret there is
+        strictly slower to compile AND run (its kernel jaxpr gets expanded
+        to HLO through the interpreter — minutes per shape instance under
+        shard_map), and it is exercised explicitly by the parity tests
+        (tests/test_pallas_point.py) instead.  This gate is what makes the
+        virtual-mesh dryrun and the CPU suite finish (round-4 fix for the
+        MULTICHIP_r03 rc=124 regression)."""
         m = _pallas_ec_min()
-        if self.spec.ext != 1 or m <= 0:
+        if self.spec.ext != 1 or m <= 0 or jax.default_backend() == "cpu":
             return 0
         leaf = jax.tree_util.tree_leaves(P)[0]
         n = int(np.prod(leaf.shape[:-1])) if leaf.ndim > 1 else 0

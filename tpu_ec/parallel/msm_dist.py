@@ -2,33 +2,46 @@
 
 The reference splits one MSM's input across GPUs and sums the per-GPU
 partial results **on the host** (`ec-gpu-proxy/src/multiexp.rs:324-400`,
-final sum at :392-399).  Round-2's port of that shape — every shard runs a
-FULL local MSM (buckets + triangular tail) and partials are tree-added —
-missed the >=80% scaling target in its own model (SCALING.json r2: 0.766 at
-d=16) because the per-window bucket tail is paid d times.
+final sum at :392-399).  Here the combine happens in *bucket space* on the
+fabric (round-2 VERDICT item 5): every shard accumulates buckets at the
+GLOBAL window size, an `all_to_all` transposes bucket slices across the
+mesh, and each shard pays the triangular tail only on its own slice — so
+accumulation, tail and communication all scale with the mesh size d.
 
-This version restructures the combine (VERDICT r2 item 5):
+Round-4 rewrite (the r3 version never finished compiling on the virtual
+CPU mesh, MULTICHIP_r03.json rc=124): XLA-CPU compiles each textually
+distinct point-add instance in ~6 s, and the r3 body inlined dozens
+(unrolled pair-halving rounds at shrinking shapes + log-depth trees).
+This version is **instance-light**: every repeated point op sits inside a
+`lax.fori_loop` whose body compiles once, ~10 field-heavy instances total:
 
-1. each shard accumulates its (W, B, 3L) Jacobian *bucket array* only
-   (ops/msm_pair.msm_pair_buckets — the pair engine's accumulation stage,
-   run at the GLOBAL-n window size so the tail shrinks with d);
-2. buckets combine across the mesh with a recursive-halving exchange:
-   log2(d) rounds of `ppermute` each sending half the current bucket
-   slice to the partner (s XOR 2^r) and point-adding — a reduce-scatter
-   with group addition.  Total bytes per chip ~ W*B*288, milliseconds on
-   ICI; afterwards shard s owns the fully-combined bucket slice
-   [bitrev(s)*B/d, (bitrev(s)+1)*B/d);
-3. each shard pays the triangular tail only on its OWN slice:
-   sum_{k in slice} k*b_k = base * sum b_k + sum_j j*b_j  (base = slice
-   offset, applied with a log-depth double-and-add);
-4. per-(shard, window) partials all_gather (tiny) + tree add + Horner.
+1. per-shard, per-window bucket accumulation (all windows batched, no
+   lax.map): sort (|digit|, idx), gather the points into bucket order once,
+   then a masked Hillis-Steele *segmented* inclusive scan along the sorted
+   axis (log2(n_loc) rounds of roll+select+add — ONE add instance); each
+   run's last row holds its bucket sum and scatters into the (half+2)-slot
+   bucket array.  n_loc*log2(n_loc) adds instead of the pair engine's
+   ~n_loc — the compile-time/compute trade the virtual mesh needs; config
+   ``dist_msm_accum="pair"`` selects the compute-optimal pair engine
+   (ops/msm_pair.msm_pair_buckets) for at-scale TPU meshes instead.
+2. bucket combine: reshape (W, half, 3L) -> (d, W, own, 3L), ONE tiled
+   `all_to_all` (the reduce-scatter transpose), then a fori_loop of d-1
+   adds.  Afterwards shard s owns fully-combined bucket values
+   [s*own+1, (s+1)*own].
+3. slice tail: sum_k (base+j)*b_j = base*sum(b) + sum_j j*b_j, with the
+   triangular part via a masked inclusive prefix scan of the reversed
+   slice (sum of scan entries = sum_j j*b_j; the last entry = sum(b)) and
+   a masked-roll halving tree for the final sum — each one loop instance.
+4. (d, W) partials all_gather (tiny) + sequential fori add + Horner.
 
-Per-chip cost = W*n/d accumulation + (W*B/d)*tail + O(W*B) comm bytes —
-every term scales with d, which is what pushes the model to >=0.8 at d=16
-(see scripts/scaling_harness.py).
+Per-chip cost = (n/d)*log2(n/d) scan adds (or n/d with accum="pair") +
+(half/d)-tail + O(W*half*288/d) all_to_all bytes — every term scales
+with d (see scripts/scaling_harness.py).
 """
 
 from __future__ import annotations
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -37,27 +50,18 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..curves.params import CurveSpec
 from ..curves.point import point_ops
-from ..ops.msm_pair import (
-    _triangular_sum,
-    _unfuse,
-    default_window_size_pair,
-    horner_combine,
-    msm_pair_buckets,
-)
+from ..ops.msm import SCALAR_BITS, make_digits
+from ..ops.msm_pair import default_window_size_pair, horner_combine, msm_pair_buckets
 
 tmap = jax.tree_util.tree_map
-
-
-def _bitrev(x, bits: int):
-    r = x * 0
-    for i in range(bits):
-        r = (r << 1) | ((x >> i) & 1)
-    return r
+I32 = jnp.int32
+U32 = jnp.uint32
 
 
 def _scalar_mul_small(ops, P_, k, nbits: int):
     """k * P for a traced non-negative scalar k < 2^nbits (log-depth
     double-and-add, MSB first) over a batched Jacobian pytree."""
+
     def body(i, acc):
         bit = (k >> (nbits - 1 - i)) & 1
         acc = ops.double(acc)
@@ -65,6 +69,96 @@ def _scalar_mul_small(ops, P_, k, nbits: int):
 
     batch = jax.tree_util.tree_leaves(P_[0])[0].shape[:-1]
     return jax.lax.fori_loop(0, nbits, body, ops.identity_jacobian(batch))
+
+
+def _roll_rows(x, shift, axis: int):
+    """jnp.roll with a traced shift along one axis (fori_loop-friendly)."""
+    return jnp.roll(x, shift, axis=axis)
+
+
+def _fused_add(ops, a, b, L):
+    """Point add on fused (..., 3L) coordinate blocks."""
+    au = tuple(a[..., i * L : (i + 1) * L] for i in range(3))
+    bu = tuple(b[..., i * L : (i + 1) * L] for i in range(3))
+    return jnp.concatenate(ops.add(au, bu), axis=-1)
+
+
+def _scan_buckets(ops, points, digits_t, *, half: int):
+    """Compile-light bucket accumulation: (W, n_loc) signed digits ->
+    fused (W, half+2, 3L) Jacobian buckets (slot 0 = digit-0 junk, slot
+    half+1 = scatter junk; both excluded downstream).
+
+    All windows batched; the only heavy op is one point-add instance inside
+    the segmented-scan fori_loop."""
+    L = ops.L
+    F = ops.F
+    W, n = digits_t.shape
+    x, y = points  # (n, L) each
+
+    key = jnp.abs(digits_t).astype(I32)  # (W, n)
+    sign = digits_t < 0
+    iota_n = jnp.arange(n, dtype=I32)
+    key_s, perm = jax.lax.sort_key_val(
+        key, jnp.broadcast_to(iota_n, (W, n))
+    )  # row-wise sort
+    xg = x[perm]  # (W, n, L) — THE one wide gather
+    yg = y[perm]
+    sg = jnp.take_along_axis(sign, perm, axis=1)
+    yg = jnp.where(sg[..., None], F.neg(yg), yg)
+    jac = ops.to_jacobian((xg, yg))  # z=0 for (0,0) identities
+    data = jnp.concatenate(jac, axis=-1)  # (W, n, 3L)
+
+    rounds = max(0, (n - 1).bit_length())  # ceil(log2 n)
+
+    def scan_round(r, st):
+        k, d = st
+        h = jnp.int32(1) << r
+        k_sh = _roll_rows(k, h, axis=1)
+        d_sh = _roll_rows(d, h, axis=1)
+        m = (k == k_sh) & (iota_n >= h)
+        added = _fused_add(ops, d, d_sh, L)
+        return k, jnp.where(m[..., None], added, d)
+
+    _, data = jax.lax.fori_loop(0, rounds, scan_round, (key_s, data))
+
+    nxt = jnp.concatenate(
+        [key_s[:, 1:], jnp.full((W, 1), -1, key_s.dtype)], axis=1
+    )
+    is_last = key_s != nxt
+    slot = jnp.where(is_last, jnp.minimum(key_s, half + 1), half + 1)
+    out = jnp.zeros((W, half + 2, 3 * L), U32)
+    wi = jnp.arange(W, dtype=I32)[:, None]
+    return out.at[wi, slot].set(data, mode="drop")
+
+
+def _masked_prefix_scan_add(ops, x, L, width: int):
+    """Inclusive prefix scan (point addition) along axis 1 of a fused
+    (W, width, 3L) block: one add instance in a fori_loop."""
+    iota = jnp.arange(width, dtype=I32)
+    rounds = max(0, (width - 1).bit_length())
+
+    def body(r, d):
+        h = jnp.int32(1) << r
+        d_sh = _roll_rows(d, h, axis=1)
+        m = iota >= h
+        return jnp.where(m[:, None], _fused_add(ops, d, d_sh, L), d)
+
+    return jax.lax.fori_loop(0, rounds, body, x)
+
+
+def _masked_tree_sum(ops, x, L, width: int):
+    """Sum along axis 1 of a fused (W, width, 3L) block (width a power of
+    two) via a masked halving tree at constant shape; result in row 0."""
+    iota = jnp.arange(width, dtype=I32)
+    rounds = max(0, width.bit_length() - 1)
+
+    def body(r, d):
+        h = jnp.int32(width) >> (r + 1)
+        d_sh = _roll_rows(d, -h, axis=1)
+        m = iota < h
+        return jnp.where(m[:, None], _fused_add(ops, d, d_sh, L), d)
+
+    return jax.lax.fori_loop(0, rounds, body, x)[:, 0]
 
 
 class DistMultiexpKernel:
@@ -84,53 +178,76 @@ class DistMultiexpKernel:
             d = self.mesh.devices.size
             ax = self.mesh.axis_names[0]
             half = 1 << (w - 1)
+            num_windows = -(-SCALAR_BITS // w)
             logd = max(0, d.bit_length() - 1)
             assert d == 1 << logd, "mesh size must be a power of two"
-            assert half >= d, "window too small for mesh: need 2^(w-1) >= devices"
+            assert half % d == 0 and half >= d, (
+                "window too small for mesh: need 2^(w-1) >= devices"
+            )
+            own = half // d
+
+            from ..config import get_config
+
+            accum = get_config().dist_msm_accum
 
             def body(points, scalars):
-                # local shard: bucket accumulation only, GLOBAL window size
-                fused = msm_pair_buckets(ops, points, scalars, window_size=w)
-                # strip dummy slot 0 / overflow slot: combine k = 1..half
-                cur = fused[:, 1 : half + 1, :]  # (W, half, 3L)
-                s_idx = jax.lax.axis_index(ax)
-                # recursive-halving reduce-scatter with point addition
-                for r in range(logd):
-                    m = cur.shape[1] // 2
-                    lo, hi = cur[:, :m, :], cur[:, m:, :]
-                    bit = (s_idx >> r) & 1
-                    send = jnp.where(bit == 0, hi, lo)
-                    perm = [(s, s ^ (1 << r)) for s in range(d)]
-                    recv = jax.lax.ppermute(send, ax, perm)
-                    keep = jnp.where(bit == 0, lo, hi)
-                    added = _fuse3(
-                        ops.add(_unfuse_last(keep, L), _unfuse_last(recv, L))
+                # 1. local shard: bucket accumulation, GLOBAL window size
+                if accum == "pair":
+                    fused = msm_pair_buckets(ops, points, scalars, window_size=w)
+                else:
+                    digits = make_digits(scalars, w, num_windows, True)
+                    fused = _scan_buckets(
+                        ops, points, jnp.swapaxes(digits, 0, 1), half=half
                     )
-                    cur = added
-                own = cur.shape[1]  # half / d
-                base = _bitrev(s_idx, logd) * own  # owned slice starts at base+1
-                # sum over slice = base * sum(b) + sum_{j=1..own} j*b_j
-                tris, tots = jax.lax.map(
-                    lambda b: _slice_tail(ops, b, L, own), cur
-                )  # leaves (W, 1, L)
-                tris = tmap(lambda l: l[:, 0], tris)  # (W, L)
-                tots = tmap(lambda l: l[:, 0], tots)
-                part = ops.add(
-                    tris, _scalar_mul_small(ops, tots, base, max(1, w - 1))
+                cur = fused[:, 1 : half + 1, :]  # (W, half, 3L): values 1..half
+                s_idx = jax.lax.axis_index(ax)
+
+                # 2. bucket-space reduce-scatter: one tiled all_to_all
+                # transposes (d, W, own, 3L) so block j = shard j's slice for
+                # me, then d-1 sequential adds (one instance).
+                blocks = cur.reshape(num_windows, d, own, 3 * L)
+                blocks = jnp.swapaxes(blocks, 0, 1)  # (d, W, own, 3L)
+                recv = jax.lax.all_to_all(
+                    blocks, ax, split_axis=0, concat_axis=0, tiled=True
                 )
-                # gather (d, W) partials, tree-add over shards
+
+                def acc_body(j, a):
+                    return _fused_add(
+                        ops, a, jax.lax.dynamic_index_in_dim(recv, j, 0, False), L
+                    )
+
+                mine = jax.lax.fori_loop(1, d, acc_body, recv[0])  # (W, own, 3L)
+
+                # 3. own-slice tail: values base+1..base+own with base=s*own;
+                # sum_j (base+j) b_j = base*sum(b) + sum_j j*b_j.
+                rev = mine[:, ::-1, :]
+                pre = _masked_prefix_scan_add(ops, rev, L, own)
+                tri_f = _masked_tree_sum(ops, pre, L, own)  # (W, 3L)
+                tot_f = pre[:, -1, :]  # (W, 3L): full slice sum
+                tri = tuple(tri_f[..., i * L : (i + 1) * L] for i in range(3))
+                tot = tuple(tot_f[..., i * L : (i + 1) * L] for i in range(3))
+                base = s_idx * own
+                nbits = max(1, (half - own).bit_length())
+                part = ops.add(tri, _scalar_mul_small(ops, tot, base, nbits))
+
+                # 4. gather (d, W) partials, sequential-add over shards
                 gathered = tmap(
                     lambda l: jax.lax.all_gather(l, ax, axis=0, tiled=False),
                     part,
-                )  # (d, W, ...)
-                g = d
-                acc = gathered
-                while g > 1:
-                    lo_ = tmap(lambda l: l[: g // 2], acc)
-                    hi_ = tmap(lambda l: l[g // 2 : g], acc)
-                    acc = ops.add(lo_, hi_)
-                    g //= 2
-                partials = tmap(lambda l: l[0], acc)  # (W, ...)
+                )  # (d, W, L)
+
+                def gat_body(j, a):
+                    return ops.add(
+                        a,
+                        tmap(
+                            lambda l: jax.lax.dynamic_index_in_dim(l, j, 0, False),
+                            gathered,
+                        ),
+                    )
+
+                partials = jax.lax.fori_loop(
+                    1, d, gat_body, tmap(lambda l: l[0], gathered)
+                )  # (W, L)
                 return horner_combine(ops, partials, w)
 
             @jax.jit
@@ -183,47 +300,3 @@ class DistMultiexpKernel:
         while (1 << (w - 1)) < d:  # need at least one bucket per shard
             w += 1
         return self._fn(n, w)(bases, scalars)
-
-
-def _fuse3(P_):
-    return jnp.concatenate(P_, axis=-1)
-
-
-def _unfuse_last(D, L):
-    """Split a fused (..., 3L) coordinate matrix on its LAST axis (the
-    msm_pair._unfuse helper slices axis 1 and only fits 2-D data)."""
-    return tuple(D[..., i * L : (i + 1) * L] for i in range(3))
-
-
-def _pad_slot0(bu, L):
-    """Prefix a dummy slot-0 and suffix an overflow slot so the slice fits
-    the (half+2)-slot convention _triangular_sum expects."""
-    return tuple(
-        jnp.concatenate(
-            [jnp.zeros_like(c[..., :1, :]), c, jnp.zeros_like(c[..., :1, :])],
-            axis=-2,
-        )
-        for c in bu
-    )
-
-
-def _tree_sum(ops, bu, m):
-    """Plain (unweighted) tree sum of m bucket points along axis 0."""
-    acc = bu
-    g = m
-    while g > 1:
-        lo = tmap(lambda l: l[: g // 2], acc)
-        hi = tmap(lambda l: l[g // 2 : g], acc)
-        acc = ops.add(lo, hi)
-        g //= 2
-    return tmap(lambda l: l[:1], acc)
-
-
-def _slice_tail(ops, b, L, own):
-    """(own, 3L) fused bucket slice -> (weighted-within-slice partial,
-    unweighted slice sum), both batch shape (1,)."""
-    bu = _unfuse(b, L, 3)
-    tri = _triangular_sum(ops, _pad_slot0(bu, L), own)
-    tri = tmap(lambda l: l[None], tri)  # (1, L)
-    tot = _tree_sum(ops, bu, own)
-    return tri, tot
