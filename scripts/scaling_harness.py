@@ -17,11 +17,16 @@ collectives can only improve it):
   spread over d chips; comm = 3 all_to_alls, each sending (d-1)/d of the
   local shard across ICI: 3 * (n/d) * (d-1)/d * bytes_per_elem per chip.
 
-  MSM (parallel/msm_dist.py, r3 bucket-combine design): per-chip compute =
-  W*n/d accumulation at the GLOBAL window size + ~W*B recursive-halving
-  combine adds + W*(B/d)*2*log2(B/d) tail on the owned bucket slice; comm =
-  ~W*B*288*(1-1/d) bytes of ppermute traffic.  Every term scales with d —
-  this is what lifted d=16 from 0.766 (r2, per-shard full tails) to >=0.98.
+  MSM (parallel/msm_dist.py, bucket-combine over all_to_all): per-chip
+  compute = accumulation at the GLOBAL window size (accum="pair": W*n/d
+  adds; accum="scan", the compile-light default: W*(n/d)*log2(n/d) masked
+  adds) + W*B*(1-1/d) combine adds + ~2*W*(B/d)*log2(B/d) tail adds on the
+  owned bucket slice; comm = W*B*288*(1-1/d) bytes of all_to_all traffic.
+  Every term scales with d — this is what lifted d=16 from 0.766 (r2,
+  per-shard full tails) to >=0.98.  At-scale runs should set
+  TPU_EC_DIST_MSM_ACCUM=pair: the scan path trades log2(n/d)x compute for
+  a program XLA-CPU can compile (see msm_dist.py header); both rows are
+  reported.
 
 Usage: python scripts/scaling_harness.py [--estimates-only]
        (CPU; writes SCALING.json; --estimates-only reuses the recorded
@@ -83,13 +88,18 @@ T_ADD_S = 265e-9
 JAC_BYTES = 3 * 24 * 4  # fused Jacobian bucket row (Fq, 24 halflimbs)
 
 
-def _msm_terms(n: int, d: int, w: int):
-    """Per-chip add-equivalents of the bucket-combine distributed pair
-    engine (parallel/msm_dist.py): accumulation at the GLOBAL window size,
-    recursive-halving bucket combine, tail on the owned 1/d slice."""
+def _msm_terms(n: int, d: int, w: int, accum: str):
+    """Per-chip add-equivalents of the bucket-combine distributed engine
+    (parallel/msm_dist.py): accumulation at the GLOBAL window size,
+    all_to_all bucket combine (d-1 adds on the owned slice), tail on the
+    owned 1/d slice."""
     W = -(-256 // w)
     B = 1 << (w - 1)
-    acc = W * n / d
+    n_loc = n / d
+    if accum == "scan":
+        acc = W * n_loc * max(1, int(math.log2(max(2, n_loc))))
+    else:
+        acc = W * n_loc
     combine = W * B * (1 - 1 / d) if d > 1 else 0
     own = max(1, B // d)
     tail = W * own * 2 * max(1, int(math.log2(max(2, own))))
@@ -97,16 +107,17 @@ def _msm_terms(n: int, d: int, w: int):
     return acc, combine, tail, comm_bytes
 
 
-def msm_efficiency(log_n: int, d: int) -> dict:
+def msm_efficiency(log_n: int, d: int, accum: str = "pair") -> dict:
     from tpu_ec.ops.msm_pair import default_window_size_pair
 
     n = 1 << log_n
     w = default_window_size_pair(n)
     W = -(-256 // w)
     B = 1 << (w - 1)
+    # single-chip reference: the pair engine (what bench.py measures)
     adds1 = W * (n + 2 * B * max(1, int(math.log2(B))))
     t1 = adds1 * T_ADD_S
-    acc, combine, tail, comm_bytes = _msm_terms(n, d, w)
+    acc, combine, tail, comm_bytes = _msm_terms(n, d, w, accum)
     t_comp = (acc + combine + tail) * T_ADD_S
     t_comm = comm_bytes / ICI_BYTES_PER_S
     t_d = t_comp + t_comm
@@ -115,6 +126,7 @@ def msm_efficiency(log_n: int, d: int) -> dict:
         "config": f"g1_msm_2^{log_n}",
         "devices": d,
         "window": w,
+        "accum": accum,
         "per_device_point_adds": int(acc + combine + tail),
         "collective_bytes_per_device": int(comm_bytes),
         "t_compute_s": round(t_comp, 4),
@@ -183,8 +195,9 @@ def main():
         "estimates": [
             ntt_efficiency(26, 8),
             ntt_efficiency(26, 16),
-            msm_efficiency(24, 8),
-            msm_efficiency(24, 16),
+            msm_efficiency(24, 8, "pair"),
+            msm_efficiency(24, 16, "pair"),
+            msm_efficiency(24, 16, "scan"),
         ],
     }
     out = os.path.join(os.path.dirname(__file__), "..", "SCALING.json")

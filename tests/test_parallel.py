@@ -74,6 +74,44 @@ def test_dist_msm(mesh):
     assert got == oracle.msm(spec, pts, ks)
 
 
+def test_dist_ntt_dryrun_shape(mesh):
+    """The driver dryrun's exact NTT shape (2^14) under a wall budget —
+    guards the MULTICHIP regression class (r3: rc=124)."""
+    import time
+
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(7)
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << 14)]
+    x = f.from_ints(vals)
+    t0 = time.time()
+    y = jax.block_until_ready(DistFftKernel(spec, mesh).radix_fft(x))
+    wall = time.time() - t0
+    assert f.to_ints(y[:4]) == ntt_ref(spec, vals)[:4]
+    assert wall < 120, f"dist NTT 2^14 took {wall:.0f}s (budget 120s)"
+
+
+def test_dist_msm_dryrun_shape(mesh):
+    """The driver dryrun's exact MSM shape (2^10, auto window) under a wall
+    budget."""
+    import time
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n = 1 << 10
+    pts = oracle.random_points(spec, n, seed=8)
+    ks = oracle.random_scalars(spec, n, seed=9)
+    t0 = time.time()
+    out = DistMultiexpKernel(spec, mesh).multiexp(
+        ops.from_affine_ints(pts), ops.scalars_to_limbs(ks)
+    )
+    jax.block_until_ready(out)
+    wall = time.time() - t0
+    got = ops.to_affine_ints(ops.to_affine(out))[0]
+    assert got == oracle.msm(spec, pts, ks)
+    assert wall < 120, f"dist MSM 2^10 took {wall:.0f}s (budget 120s)"
+
+
 def test_dist_ec_fft_many(mesh):
     """Sharded batched EC-FFT == single-chip batched EC-FFT, bit-exact
     (the multi-GPU batch distribution of ec_fft.rs:241-279)."""
