@@ -78,9 +78,25 @@ def main():
         got_head = [f.spec.from_mont(to_int(ys[:, j])) for j in range(8)]
         assert got_head == want_head, "NTT 2^12 forward != bigint oracle"
 
-    dt = timeit(kern.radix_fft_planes, xp, iters=5, warmup=1)
-    # one pass reads+writes n*L*4 bytes per stage at minimum; use the single
-    # full-array roundtrip as the lower bound for the plausibility check
+    # Device throughput: CHAIN back-to-back transforms inside ONE program,
+    # so the axon tunnel's ~6 ms per-dispatch overhead (a dev-harness
+    # artifact — it floors EVERY dispatch at ~6 ms regardless of work, see
+    # scripts/exp_digit_parts.py) amortizes out; this matches how the
+    # transform runs inside a pipeline (ops/pipeline.py).  A single
+    # dispatch-inclusive number is reported alongside for transparency.
+    CHAIN = 4
+
+    @jax.jit
+    def chain(v):
+        def body(i, v):
+            return kern.radix_fft_planes(v)
+
+        return jax.lax.fori_loop(0, CHAIN, body, v)
+
+    hard_sync(chain(xp))  # compile
+    dt = timeit(chain, xp, iters=3, warmup=1) / CHAIN
+    dt_single = timeit(kern.radix_fft_planes, xp, iters=5, warmup=1)
+    # one pass reads+writes n*L*4 bytes at minimum; plausibility gate
     assert physically_possible(2 * n * f.L * 4, dt), (
         f"measured {dt:.2e}s/call implies impossible HBM bandwidth — sync broken"
     )
@@ -92,6 +108,8 @@ def main():
                 "value": round(value, 1),
                 "unit": "elements/s",
                 "vs_baseline": round(value / SOL_ELEMS_PER_S, 4),
+                "single_dispatch_elems_per_s": round(n / dt_single, 1),
+                "impl": "digit-matmul (ops/ntt_digit.py)",
             }
         )
     )

@@ -1,0 +1,585 @@
+"""MXU digit-matmul NTT: leaf transforms as int8 matrix multiplies.
+
+The round-3 analysis (PERF.md) showed the fused VPU NTT is ALU-bound at
+~2.5 ns per Montgomery mul — the mulmod op count itself is the wall, and
+the one credible route past it is the MXU.  This module is that route,
+built on one observation: a leaf NTT is a CONSTANT linear map over the
+field, so with inputs decomposed into base-2^7 digits it becomes an exact
+int8 matrix multiply with int32 accumulation:
+
+    Y[k] = sum_j W^{kj} X[j]          (mod p)
+         = sum_{j,d} (W^{kj} 2^{7d} mod p) x[j,d]
+    col[e,k] = sum_{j,d} G[kj mod m][e,d] x[d,j]   <- ONE s8xs8->s32 matmul
+
+where G[t][e,d] = digit_e(w_m^t 2^{7d} mod p).  Key properties:
+
+- base-2^7 UNSIGNED digits: both operands are in [0,127], so they fit int8
+  with no balanced recoding, products are nonnegative, and column sums are
+  bounded by m*37*127^2 < 2^31 — exact in int32 (m <= 2^7).
+- mod p is folded into the constant matrix (G entries are digits of
+  residues), so outputs come back as 37 int32 columns whose weighted sum
+  is < m*37*2^7*p ~ 2^276 — never a full-width integer.
+- the map is linear, so Montgomery representation (a global scale R)
+  passes through untouched: twiddle constants enter PLAIN, data stays in
+  the arkworks R = 2^256 domain end to end.
+- the leaf matrix bakes in output order — no bit-reversal pass exists.
+
+Between four-step levels the Bailey twiddle T[k2,j1] varies per element and
+stays on the VPU — as a WIDENED Montgomery multiply with R' = 2^288
+(18x16 half-limbs) fused into ONE Pallas kernel (digit pack -> wide mul ->
+digit split, all VMEM-resident): leaf outputs (< 2^280) are consumed
+directly without pre-reduction, and u = (v*T' + m*p)/2^288 < p + 2^242
+< 2^256 lands back on 16 limbs for the next level's digits.  Stored
+constants are pre-scaled by 2^288 (T' = t*2^288 mod p), so the R' division
+cancels exactly — the same trick the leaf plays with R.  The final-level
+cleanup (and the inverse transform's n^-1 scale) is the same kernel with a
+constant twiddle and a canonical-reduce epilogue.
+
+Data layout: value axes LEADING (digit/limb planes), batch flattened into
+lanes — (D, n) like ops/pallas/mont.py — so every matmul contracts
+adjacent leading axes and every carry is an axis-0 shift.
+
+Reference counterpart: the radix-2^8 shared-memory rounds of
+`ag-build/cl/fft.cl:40-67` driven by `ec-gpu-proxy/src/fft.rs:93-127`; the
+four-step factorization and tables mirror ops/pallas/ntt_fused.py, which
+remains selectable via config ``ntt_impl``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..fields.params import LIMB_BITS, FieldSpec, int_to_limbs
+from .ntt import get_domain, twiddle_table_np
+from .pallas.mont import ListField, _carry_norm, _borrow_sub
+
+I8 = jnp.int8
+I32 = jnp.int32
+U32 = jnp.uint32
+DIGIT_BITS = 7
+DIGIT_MASK = (1 << DIGIT_BITS) - 1
+WIDE_LIMBS = 18  # R' = 2^(16*18) = 2^288
+
+
+def _digit_count(bits: int) -> int:
+    return -(-bits // DIGIT_BITS)
+
+
+# ---------------------------------------------------------------------------
+# numpy constant builders
+# ---------------------------------------------------------------------------
+
+
+def leaf_matrix_np(spec: FieldSpec, log_m: int, omega_m: int, d_in: int) -> np.ndarray:
+    """(D_OUT, m, m, D_IN) int8: A[e,k,j,d] = digit_e(w_m^{kj} 2^{7d} mod p).
+
+    Only m distinct powers w_m^t exist, so build G[t,e,d] with Python
+    bigints and fancy-index it out to (k, j)."""
+    p = spec.modulus
+    m = 1 << log_m
+    d_out = _digit_count(p.bit_length())
+    G = np.zeros((m, d_out, d_in), np.int8)
+    w_t = 1
+    for t in range(m):
+        v = w_t
+        for d in range(d_in):
+            x = v
+            for e in range(d_out):
+                G[t, e, d] = x & DIGIT_MASK
+                x >>= DIGIT_BITS
+            v = (v << DIGIT_BITS) % p
+        w_t = (w_t * omega_m) % p
+    k = np.arange(m)[:, None]
+    j = np.arange(m)[None, :]
+    t = (k * j) % m  # (m, m)
+    return np.transpose(G[t], (2, 0, 1, 3)).copy()  # (e, k, j, d)
+
+
+def _np_mont_mul_chunked(spec, a: np.ndarray, b: np.ndarray, chunk: int = 1 << 15) -> np.ndarray:
+    """np_mont_mul in bounded-memory chunks: the vectorized backend
+    materializes (n, L, L) uint64 temporaries (~2 GB at n = 2^20), which
+    thrashes the host — cap the batch instead."""
+    from ..fields.bigint import np_mont_mul
+
+    n = a.shape[0]
+    if n <= chunk:
+        return np_mont_mul(spec, a, b)
+    b = np.broadcast_to(np.asarray(b, np.uint64), a.shape)
+    outs = [
+        np_mont_mul(spec, a[i : i + chunk], b[i : i + chunk])
+        for i in range(0, n, chunk)
+    ]
+    return np.concatenate(outs, axis=0)
+
+
+def inter_table288_np(
+    spec: FieldSpec, omega: int, log_n: int, log_m: int, log_n1: int
+) -> np.ndarray:
+    """(L16, n2, n1) plain-twiddle table scaled by 2^288:
+    T'[k2, j1] = w_m^{k2 j1} * 2^288 mod p  (w_m = omega^(n/m)).
+
+    Row-doubling construction as in ntt_fused.FusedDomain._inter_table
+    (Montgomery R0-form t*R0); one extra np_mont_mul by C = 2^288 mod p
+    converts: mont(t*R0, C) = t*C = t*2^288."""
+    from ..fields.bigint import np_mont_mul
+
+    L = spec.n_limbs
+    n1 = 1 << log_n1
+    n2 = 1 << (log_m - log_n1)
+    w_m = pow(omega, 1 << (log_n - log_m), spec.modulus)
+    table = np.broadcast_to(
+        int_to_limbs(spec.one, L).astype(np.uint32), (1, n1, L)
+    ).copy()
+    cur = twiddle_table_np(spec, w_m, log_n1)[:n1]
+    for _ in range(log_m - log_n1):
+        grown = _np_mont_mul_chunked(
+            spec, table.reshape(-1, L), np.tile(cur, (table.shape[0], 1))
+        ).reshape(table.shape[0], n1, L)
+        table = np.concatenate([table, grown], axis=0)
+        cur = np_mont_mul(spec, cur, cur)
+    table = table[:n2]
+    C = int_to_limbs((1 << (16 * WIDE_LIMBS)) % spec.modulus, L)
+    flat = _np_mont_mul_chunked(
+        spec, table.reshape(-1, L), np.broadcast_to(C, (n2 * n1, L))
+    )
+    return np.transpose(flat.reshape(n2, n1, L), (2, 0, 1)).copy()
+
+
+# ---------------------------------------------------------------------------
+# axis-0 digit plumbing (pure jnp, fuses)
+# ---------------------------------------------------------------------------
+
+
+def split_digits_rows(v16: jnp.ndarray, d_out: int) -> jnp.ndarray:
+    """(L16, ...) u32 16-bit limb planes -> (d_out, ...) int8 base-2^7."""
+    L16 = v16.shape[0]
+    outs = []
+    for e in range(d_out):
+        s = e * DIGIT_BITS
+        i0, off = divmod(s, LIMB_BITS)
+        if i0 >= L16:
+            outs.append(jnp.zeros_like(v16[:1]))
+            continue
+        d = v16[i0 : i0 + 1] >> off
+        if off > LIMB_BITS - DIGIT_BITS and i0 + 1 < L16:
+            d = d | (v16[i0 + 1 : i0 + 2] << (LIMB_BITS - off))
+        outs.append(d & DIGIT_MASK)
+    return jnp.concatenate(outs, axis=0).astype(I8)
+
+
+def _shift_up_rows(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([jnp.zeros_like(x[:1]), x[:-1]], axis=0)
+
+
+def carry7_rows(cols: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Matmul column outputs (D, ...) int32 (>= 0, < 2^31) -> normalized
+    base-2^7 digits (n_out, ...) int8, via 3 parallel fold passes (carry
+    < 2^24 -> 2^17 -> 2^10 -> 2^3) + one Kogge-Stone lookahead for the
+    residual 0/1 carries.  Every op is a full-array add/shift — XLA fuses
+    the whole chain into ~one pass (the sequential 40-step version cost
+    15 ms/level at 2^20)."""
+    D = cols.shape[0]
+    x = cols.astype(U32)
+    if D < n_out:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_out - D,) + x.shape[1:], U32)], axis=0
+        )
+    else:
+        x = x[:n_out]  # callers guarantee the dropped columns are zero
+    for _ in range(3):
+        x = (x & DIGIT_MASK) + _shift_up_rows(x >> DIGIT_BITS)
+    # residual: x < 128 + 8 -> generate in {0,1}, disjoint from propagate
+    g = x >> DIGIT_BITS
+    p = ((x & DIGIT_MASK) == DIGIT_MASK).astype(U32)
+    ones = jnp.ones_like(p)
+    zeros = jnp.zeros_like(g)
+    s = 1
+    while s < n_out:
+        gs = jnp.concatenate([zeros[:s], g[:-s]], axis=0)
+        ps = jnp.concatenate([ones[:s], p[:-s]], axis=0)
+        g = g | (p & gs)
+        p = p & ps
+        s *= 2
+    C = _shift_up_rows(g)
+    return ((x + C) & DIGIT_MASK).astype(I8)
+
+
+# ---------------------------------------------------------------------------
+# wide Montgomery multiply core (limb LISTS — usable inside Pallas kernels
+# and as the jnp fallback on CPU)
+# ---------------------------------------------------------------------------
+
+
+def _pack7_lists(vd: list[jnp.ndarray], n_limbs: int) -> list[jnp.ndarray]:
+    """List of D base-2^7 digit arrays (u32) -> n_limbs 16-bit limb arrays."""
+    acc: list = [None] * n_limbs
+    for e, d in enumerate(vd):
+        s = e * DIGIT_BITS
+        i0, off = divmod(s, LIMB_BITS)
+        if i0 >= n_limbs:
+            continue
+        c = d << off
+        acc[i0] = c if acc[i0] is None else acc[i0] + c
+    cols = [a if a is not None else jnp.zeros_like(vd[0]) for a in acc]
+    return _carry_norm(cols, n_limbs)
+
+
+def _split7_lists(limbs: list[jnp.ndarray], d_out: int) -> list[jnp.ndarray]:
+    """16-bit limb arrays -> d_out base-2^7 digit arrays (u32, < 128)."""
+    L16 = len(limbs)
+    out = []
+    for e in range(d_out):
+        s = e * DIGIT_BITS
+        i0, off = divmod(s, LIMB_BITS)
+        if i0 >= L16:
+            out.append(jnp.zeros_like(limbs[0]))
+            continue
+        d = limbs[i0] >> off
+        if off > LIMB_BITS - DIGIT_BITS and i0 + 1 < L16:
+            d = d | (limbs[i0 + 1] << (LIMB_BITS - off))
+        out.append(d & DIGIT_MASK)
+    return out
+
+
+def _carry_norm7(cols: list, n_out: int) -> list:
+    """Sequential base-2^7 carry over int32/uint32 column values (>= 0,
+    < 2^31): exactly n_out digit arrays (u32, < 128)."""
+    out = []
+    carry = None
+    for k in range(n_out):
+        v = cols[k] if k < len(cols) else None
+        if v is None:
+            v = carry if carry is not None else None
+            carry = None
+        elif carry is not None:
+            v = v + carry
+        if v is None:
+            v = jnp.zeros_like(cols[0])
+        out.append(v & DIGIT_MASK)
+        carry = v >> DIGIT_BITS
+    return out
+
+
+class WideMont:
+    """v * t * 2^-288 for v < 2^288 (digit list) and t < p (16 limbs),
+    result < p + 2^242: the inter-twiddle multiply.  Limb-list formulation
+    (ops/pallas/mont.ListField patterns) shared by the Pallas kernel body
+    and the CPU jnp path."""
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.L16 = spec.n_limbs
+        self.Lw = WIDE_LIMBS
+        self.p_digits = [int(v) for v in spec.p_limbs]
+        R = 1 << (LIMB_BITS * WIDE_LIMBS)
+        npr = (-pow(spec.modulus, -1, R)) % R
+        self.np_digits = [int(v) for v in int_to_limbs(npr, WIDE_LIMBS)]
+
+    def mul(self, a18: list, t16: list) -> list:
+        """a (18 limbs u32) x t (16 limbs u32) -> 16 limbs of a*t/2^288."""
+        Lw, L16 = self.Lw, self.L16
+        top = Lw + L16
+        t_cols = ListField._prod_cols(a18, t16, top)
+        t_dig = _carry_norm(t_cols, top + 1)  # a*t < 2^543: top+1 exact
+        m_cols = ListField._prod_cols(t_dig[:Lw], self.np_digits, Lw)
+        m = _carry_norm(m_cols, Lw)
+        mp = ListField._prod_cols(m, self.p_digits, top)
+        u = [x + y for x, y in zip(t_dig, mp)] + t_dig[top:]
+        u_dig = _carry_norm(u, top + 1)
+        return u_dig[Lw : Lw + L16]  # low Lw limbs are exactly zero
+
+    def cond_sub_p(self, v16: list) -> list:
+        d, ok = _borrow_sub(v16, self.p_digits)
+        return [jnp.where(ok == 1, x, y) for x, y in zip(d, v16)]
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_mont(spec: FieldSpec) -> WideMont:
+    return WideMont(spec)
+
+
+def _inter_core(wm: WideMont, cols: list, t16: list, n_dig: int, d_out: int, canonical: bool):
+    """Raw matmul columns (int32 list, >= 0, < 2^31) + twiddle limbs ->
+    digit list (d_out u32) or, when ``canonical``, 16 reduced limbs (< p).
+    Fuses the base-7 carry normalization that turns columns into digits."""
+    vd = _carry_norm7(cols, n_dig)
+    a18 = _pack7_lists(vd, wm.Lw)
+    r16 = wm.mul(a18, t16)
+    if canonical:
+        return wm.cond_sub_p(r16)
+    return _split7_lists(r16, d_out)
+
+
+@functools.lru_cache(maxsize=None)
+def _inter_call(
+    spec: FieldSpec, dc: int, n_dig: int, d_out: int, n: int, block: int,
+    canonical: bool, interpret: bool,
+):
+    """Pallas kernel: (dc, n) i32 matmul columns x (16, n) u32 twiddles ->
+    (d_out, n) i8 digits, or (16, n) u32 canonical limbs.  One VMEM-resident
+    pass: carry -> pack -> wide Montgomery -> split."""
+    wm = WideMont(spec)
+    L16 = spec.n_limbs
+
+    def kernel(c_ref, t_ref, o_ref):
+        cols = [c_ref[e].astype(U32) for e in range(dc)]
+        t16 = [t_ref[i] for i in range(L16)]
+        out = _inter_core(wm, cols, t16, n_dig, d_out, canonical)
+        if canonical:
+            for i in range(L16):
+                o_ref[i] = out[i]
+        else:
+            for e in range(d_out):
+                o_ref[e] = out[e].astype(I8)
+
+    rows_out = L16 if canonical else d_out
+    dt_out = U32 if canonical else I8
+    cspec = pl.BlockSpec((dc, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((L16, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((rows_out, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rows_out, n), dt_out),
+        grid=(n // block,),
+        in_specs=[cspec, tspec],
+        out_specs=ospec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(n) * (2 * 18 * 16 + 18 * 18) * 2,
+            bytes_accessed=n * (4 * dc + 4 * L16 + rows_out * (4 if canonical else 1)),
+            transcendentals=0,
+        ),
+    )
+
+
+def inter_twiddle(
+    spec: FieldSpec,
+    cols: jnp.ndarray,  # (dc, N) i32 raw matmul columns, value < 2^280
+    t16: jnp.ndarray,  # (L16, N) u32 limbs (plain twiddle * 2^288)
+    *,
+    canonical: bool = False,
+    block: int = 1024,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """One fused carry -> pack -> wide-Montgomery -> split pass."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dc, n = cols.shape
+    d_out = _digit_count(16 * spec.n_limbs)
+    n_dig = _digit_count(16 * WIDE_LIMBS)  # 42: covers any < 2^288 value
+    if interpret:
+        # CPU path: same core as plain jnp (Pallas-interpret is pathologically
+        # slow to lower; the core is shared so results are bit-identical)
+        cl = [cols[e].astype(U32) for e in range(dc)]
+        tl = [t16[i] for i in range(spec.n_limbs)]
+        out = _inter_core(_wide_mont(spec), cl, tl, n_dig, d_out, canonical)
+        if canonical:
+            return jnp.stack(out, axis=0)
+        return jnp.stack(out, axis=0).astype(I8)
+    npad = -(-n // block) * block
+    if npad != n:
+        cols = jnp.pad(cols, ((0, 0), (0, npad - n)))
+        t16 = jnp.pad(t16, ((0, 0), (0, npad - n)))
+    out = _inter_call(spec, dc, n_dig, d_out, npad, block, canonical, False)(
+        cols, t16
+    )
+    return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# domain + transform
+# ---------------------------------------------------------------------------
+
+
+class DigitDomain:
+    """Constant tables for one (field, log_n, inverse) digit-matmul NTT."""
+
+    def __init__(self, spec: FieldSpec, log_n: int, inverse: bool, leaf: int):
+        self.spec = spec
+        self.log_n = log_n
+        self.inverse = inverse
+        self.leaf = leaf
+        base = get_domain(spec, log_n, inverse)
+        self.omega = base.omega
+        p = spec.modulus
+        self.d_in = _digit_count(LIMB_BITS * spec.n_limbs)  # inputs < 2^256
+        self.plan = self._plan(log_n, leaf)
+        mmax = 1 << max(self.plan)
+        bound_bits = p.bit_length() + DIGIT_BITS + (mmax * self.d_in).bit_length()
+        self.d_leaf = _digit_count(bound_bits)  # leaf output digits
+        assert self.d_leaf * DIGIT_BITS <= LIMB_BITS * WIDE_LIMBS
+        assert mmax * self.d_in * DIGIT_MASK * DIGIT_MASK < (1 << 31)
+        self.matrices: dict[int, np.ndarray] = {}
+        self.inter: dict[tuple[int, int], np.ndarray] = {}
+        self._build()
+
+    @staticmethod
+    def _plan(log_n: int, leaf: int) -> list[int]:
+        out = []
+        rest = log_n
+        while rest > leaf:
+            out.append(leaf)
+            rest -= leaf
+        out.append(rest)
+        return out
+
+    def _table_cache(self, kind: str, *key_parts) -> str | None:
+        """Disk-cache path for one built table (the big inter tables take
+        ~minutes of numpy Montgomery at 2^20+; the compile-cache analog of
+        the reference's fatbin cache, compile.rs:79-114)."""
+        import os
+
+        from ..config import get_config
+
+        if not get_config().cache:
+            return None
+        base = get_config().cache_dir or os.path.join(
+            os.path.expanduser("~"), ".cache", "tpu_ec"
+        )
+        d = os.path.join(base, "digit_tables")
+        os.makedirs(d, exist_ok=True)
+        name = "_".join(
+            [self.spec.name, kind] + [str(k) for k in key_parts]
+        )
+        return os.path.join(d, name + ".npy")
+
+    def _cached(self, kind, key_parts, build):
+        path = self._table_cache(kind, *key_parts)
+        if path is not None and __import__("os").path.exists(path):
+            return np.load(path)
+        arr = build()
+        if path is not None:
+            np.save(path + ".tmp.npy", arr)
+            __import__("os").replace(path + ".tmp.npy", path)
+        return arr
+
+    def _build(self):
+        spec, p = self.spec, self.spec.modulus
+        log_rest = self.log_n
+        for lf in self.plan[:-1]:
+            n1_log = log_rest - lf
+            self.inter[(log_rest, n1_log)] = self._cached(
+                "inter288",
+                (self.log_n, int(self.inverse), log_rest, n1_log),
+                lambda lr=log_rest, nl=n1_log: inter_table288_np(
+                    spec, self.omega, self.log_n, lr, nl
+                ),
+            )
+            if lf not in self.matrices:
+                w_m = pow(self.omega, 1 << (self.log_n - lf), p)
+                self.matrices[lf] = self._cached(
+                    "leafmat",
+                    (int(self.inverse), lf, self.d_in),
+                    lambda w=w_m, l=lf: leaf_matrix_np(spec, l, w, self.d_in),
+                )
+            log_rest = n1_log
+        last = self.plan[-1]
+        if last not in self.matrices:
+            w_m = pow(self.omega, 1 << (self.log_n - last), p)
+            self.matrices[last] = self._cached(
+                "leafmat",
+                (int(self.inverse), last, self.d_in),
+                lambda: leaf_matrix_np(spec, last, w_m, self.d_in),
+            )
+        # final cleanup constant: 2^288 (forward) / n_inv * 2^288 (inverse)
+        R = 1 << (LIMB_BITS * WIDE_LIMBS)
+        c = R % p
+        if self.inverse:
+            c = (c * pow(1 << self.log_n, -1, p)) % p
+        self.final_c = int_to_limbs(c, spec.n_limbs)
+
+
+@functools.lru_cache(maxsize=16)
+def get_digit_domain(spec: FieldSpec, log_n: int, inverse: bool, leaf: int) -> DigitDomain:
+    return DigitDomain(spec, log_n, inverse, leaf)
+
+
+def digit_consts(dom: DigitDomain):
+    """Device-side constants for one domain; keep and pass as ``consts`` so
+    repeated calls skip the host->device upload."""
+    A = {k: jnp.asarray(v) for k, v in dom.matrices.items()}
+    inter = {k: jnp.asarray(v) for k, v in dom.inter.items()}
+    return A, inter
+
+
+def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret) -> jnp.ndarray:
+    """x: (d_in, m, M) int8 digit planes (values < 2^256, R-domain) ->
+    (d_out, m, M) int32 RAW COLUMN planes of the size-m NTT (weighted sum
+    < 2^280), natural order along axis 1.  Columns stay raw so the next
+    consumer (inter-twiddle / final-cleanup kernel) fuses the carry."""
+    A, inter = consts
+    d_in, m_, M = x.shape
+    if log_m <= dom.leaf:
+        return jax.lax.dot_general(
+            A[log_m], x, (((2, 3), (1, 0)), ((), ())),
+            preferred_element_type=I32,
+        )  # (d_out, m, M)
+    log_n2 = dom.leaf
+    log_n1 = log_m - log_n2
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    x4 = x.reshape(d_in, n2, n1 * M)
+    # leaf NTT over j2 (axis 1), batched over (j1, M); contraction axes
+    # (d, j2) are the two leading axes — no data transpose needed
+    cols = jax.lax.dot_general(
+        A[log_n2], x4, (((2, 3), (1, 0)), ((), ())),
+        preferred_element_type=I32,
+    )  # (d_out, n2, n1*M)
+    # inter twiddle T'[k2, j1]: ONE fused kernel (carry -> pack -> wide
+    # Montgomery -> digit split)
+    T = inter[(log_m, log_n1)]  # (L16, n2, n1)
+    tfull = jnp.broadcast_to(
+        T[:, :, :, None], (T.shape[0], n2, n1, M)
+    ).reshape(T.shape[0], n2 * n1 * M)
+    y = inter_twiddle(
+        dom.spec, cols.reshape(cols.shape[0], n2 * n1 * M), tfull,
+        interpret=interpret,
+    )  # (d_in, n2*n1*M) i8
+    ydig = y.reshape(dom.d_in, n2, n1, M)
+    # transpose and recurse over n1
+    yt = jnp.swapaxes(ydig, 1, 2).reshape(dom.d_in, n1, n2 * M)
+    z = _rec(dom, yt, log_n1, consts, interpret)
+    # k1-major flatten == natural order (X[k2 + n2*k1] = Z[k1, k2])
+    return z.reshape(z.shape[0], n1 * n2, M)
+
+
+def digit_ntt_planes(
+    spec: FieldSpec,
+    xp: jnp.ndarray,  # (L16, n) u32 half-limb planes, Montgomery form
+    inverse: bool = False,
+    *,
+    leaf: int | None = None,
+    consts=None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Natural-order NTT bit-exact with ops.ntt.FftKernel, via MXU digit
+    matmuls.  Returns (L16, n) canonical Montgomery planes (< p)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    L16, n = xp.shape
+    log_n = int(n).bit_length() - 1
+    if 1 << log_n != n:
+        raise ValueError("FFT size must be a power of two")
+    if leaf is None:
+        from ..config import get_config
+
+        leaf = get_config().ntt_digit_leaf_log
+    leaf = min(leaf, log_n)
+    dom = get_digit_domain(spec, log_n, inverse, leaf)
+    if consts is None:
+        consts = digit_consts(dom)
+    dig = split_digits_rows(xp, dom.d_in)[:, :, None]  # (d_in, n, 1)
+    out = _rec(dom, dig, log_n, consts, interpret)  # (d_out, n, 1) i32 cols
+    cfull = jnp.broadcast_to(
+        jnp.asarray(dom.final_c.astype(np.uint32))[:, None], (L16, n)
+    )
+    y16 = inter_twiddle(
+        spec, out.reshape(out.shape[0], n), cfull, canonical=True,
+        interpret=interpret,
+    )  # (L16, n), < p
+    return y16

@@ -97,6 +97,34 @@ class PallasFftKernel:
         key = (log_n, inverse, donate)
         donate_kw = {"donate_argnums": (0,)} if donate else {}
         if key not in self._jitted:
+            from ...config import get_config
+
+            if log_n > 9 and get_config().ntt_impl == "digit":
+                # MXU digit-matmul path (ops/ntt_digit.py): leaf NTTs as
+                # int8 matmuls + fused wide-Montgomery inter twiddles —
+                # the r4 default, ~2.4x the fused VPU path at 2^20
+                from ..ntt_digit import (
+                    digit_consts,
+                    digit_ntt_planes,
+                    get_digit_domain,
+                )
+
+                leaf = min(get_config().ntt_digit_leaf_log, log_n)
+                ddom = get_digit_domain(self.spec, log_n, inverse, leaf)
+                dconsts = jax.tree_util.tree_map(
+                    jax.device_put, digit_consts(ddom)
+                )
+                spec, interp = self.spec, self.interpret
+
+                @jax.jit
+                def run_digit(xp, c):
+                    return digit_ntt_planes(
+                        spec, xp, inverse, leaf=leaf, consts=c,
+                        interpret=interp,
+                    )
+
+                self._jitted[key] = lambda xp: run_digit(xp, dconsts)
+                return self._jitted[key]
             if log_n > 9:
                 # fused multi-stage path: radix-2^LEAF leaves, one HBM round
                 # trip per recursion level (ops/pallas/ntt_fused.py)
