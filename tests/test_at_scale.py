@@ -25,7 +25,11 @@ from tpu_ec.native import available, native_curve, native_field
 from tpu_ec.curves.params import BLS12_381_G1
 from tpu_ec.curves.point import point_ops
 
-pytestmark = pytest.mark.skipif(not available(), reason="native oracle unavailable")
+pytestmark = [
+    pytest.mark.skipif(not available(), reason="native oracle unavailable"),
+    # multi-minute XLA-CPU compiles at 2^12 (see pytest.ini)
+    pytest.mark.slow,
+]
 
 
 def test_fused_ntt_forward_vs_native_2_12():

@@ -37,6 +37,7 @@ def test_msm_small(spec):
     [(3, True), (8, True), (11, True), (8, False)],
     ids=["w3s", "w8s", "w11s", "w8u"],
 )
+@pytest.mark.slow
 def test_msm_window_sweep(window, signed):
     """window x signedness sweep (multiexp.rs:93-144 does 1..=9 x both;
     trimmed here because each config is a separate XLA compile)."""
@@ -72,6 +73,7 @@ def test_msm_g2():
     assert _run(spec, pts, ks, window_size=4, num_groups=2) == expected
 
 
+@pytest.mark.slow
 def test_multiple_multiexp():
     """Batch MSM over chunks (ag-cuda-ec multiple_multiexp parity)."""
     spec = BN254_G1
@@ -113,6 +115,7 @@ def test_plan_heuristics():
         assert g & (g - 1) == 0  # power of two
 
 
+@pytest.mark.slow
 def test_multiexp_1bit():
     """1-bit batch MSM variant (batch_multiexp.cl parity, C14)."""
     from tpu_ec.ops.msm import multiexp_1bit

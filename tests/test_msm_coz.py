@@ -15,6 +15,9 @@ from tpu_ec.curves.point import point_ops
 from tpu_ec.ops.msm import MultiexpKernel
 from tpu_ec.ops.msm_coz import default_window_size_coz
 
+# whole-module: multi-minute XLA-CPU compiles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 _KERNELS: dict = {}
 
 

@@ -18,6 +18,9 @@ from tpu_ec.curves.params import BLS12_381_G1, BN254_G1
 from tpu_ec.curves.point import point_ops
 from tpu_ec.ops.msm import MultiexpKernel
 
+# whole-module: multi-minute XLA-CPU compiles (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 _KERNELS: dict = {}
 
 

@@ -1,0 +1,90 @@
+"""Scan-engine MSM differential tests (the compile-light CPU default).
+
+Every case below uses the SAME (n=32, window=4) shape so the whole file
+costs ONE XLA compile (MultiexpKernel caches per shape); adversarial digit
+distributions ride through that one program.  This engine carries the
+default-suite differential coverage for G1 MSM; the movement-minimal
+engines keep their own suites under `-m slow` (see pytest.ini).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tpu_ec.curves import oracle
+from tpu_ec.curves.params import BLS12_381_G1, BN254_G1
+from tpu_ec.curves.point import point_ops
+from tpu_ec.ops.msm import MultiexpKernel
+
+N, W = 32, 4
+_KERNELS: dict = {}
+
+
+def run_case(spec, pts, ks):
+    ops = point_ops(spec)
+    kern = _KERNELS.setdefault(spec.name, MultiexpKernel(spec))
+    out = kern.multiexp(
+        ops.from_affine_ints(pts),
+        ops.scalars_to_limbs(ks),
+        window_size=W,
+        method="scan",
+    )
+    got = ops.to_affine_ints(ops.to_affine(out))[0]
+    assert got == oracle.msm(spec, pts, ks)
+
+
+def test_random_vs_oracle():
+    spec = BN254_G1
+    pts = oracle.random_points(spec, N, seed=200)
+    ks = oracle.random_scalars(spec, N, seed=201)
+    run_case(spec, pts, ks)
+
+
+def test_identities_and_zero_scalars():
+    spec = BN254_G1
+    pts = oracle.random_points(spec, N - 3, seed=202) + [None] * 3
+    ks = [0] * 4 + oracle.random_scalars(spec, N - 4, seed=203)
+    run_case(spec, pts, ks)
+
+
+def test_duplicates_and_equal_scalars():
+    """Equal keys everywhere: the segmented scan's longest-run case."""
+    spec = BN254_G1
+    base = oracle.random_points(spec, 4, seed=204)
+    pts = [base[i % 4] for i in range(N)]
+    k = oracle.random_scalars(spec, 1, seed=205)[0]
+    ks = [k] * N
+    run_case(spec, pts, ks)
+
+
+def test_cancelling_pairs():
+    """k and -k on the same point: signed digits cancel to identity."""
+    spec = BN254_G1
+    order = spec.scalar.modulus
+    pts = oracle.random_points(spec, N // 2, seed=206) * 2
+    ks = oracle.random_scalars(spec, N // 2, seed=207)
+    ks = ks + [order - k for k in ks]
+    run_case(spec, pts, ks)
+
+
+def test_bls12_381_g1():
+    spec = BLS12_381_G1
+    pts = oracle.random_points(spec, N, seed=208)
+    ks = oracle.random_scalars(spec, N, seed=209)
+    run_case(spec, pts, ks)
+
+
+def test_auto_selects_scan_on_cpu():
+    """On the CPU backend, method='auto' must route G1 to the scan engine
+    (the compile-light default that keeps this suite bounded)."""
+    assert jax.default_backend() == "cpu"
+    spec = BN254_G1
+    kern = _KERNELS.setdefault(spec.name, MultiexpKernel(spec))
+    ops = point_ops(spec)
+    pts = oracle.random_points(spec, N, seed=210)
+    ks = oracle.random_scalars(spec, N, seed=211)
+    out = kern.multiexp(
+        ops.from_affine_ints(pts), ops.scalars_to_limbs(ks), window_size=W
+    )
+    assert ("scan", N, W) in kern._jitted
+    assert ops.to_affine_ints(ops.to_affine(out))[0] == oracle.msm(spec, pts, ks)

@@ -33,6 +33,7 @@ def run_case(spec, pts, ks, **kw):
 
 
 @pytest.mark.parametrize("n", [1, 2, 33])
+@pytest.mark.slow
 def test_small_vs_oracle(n):
     spec = BN254_G1
     pts = oracle.random_points(spec, n, seed=n)
@@ -40,6 +41,7 @@ def test_small_vs_oracle(n):
     run_case(spec, pts, ks, window_size=4)
 
 
+@pytest.mark.slow
 def test_identities_and_zero_scalars():
     spec = BN254_G1
     n = 64
@@ -52,6 +54,7 @@ def test_identities_and_zero_scalars():
     run_case(spec, pts, ks, window_size=4)
 
 
+@pytest.mark.slow
 def test_adversarial_equal_scalars():
     """All scalars identical -> every window is ONE maximal run; exercises
     the constant-size fori halving rounds to their worst-case depth."""
@@ -62,6 +65,7 @@ def test_adversarial_equal_scalars():
     run_case(spec, pts, [k] * n, window_size=4)
 
 
+@pytest.mark.slow
 def test_duplicate_points():
     """Repeated bases hit the P == Q doubling select inside halving rounds."""
     spec = BN254_G1
@@ -73,6 +77,7 @@ def test_duplicate_points():
 
 
 @pytest.mark.parametrize("w", [2, 8])
+@pytest.mark.slow
 def test_window_sweep(w):
     spec = BN254_G1
     n = 40
@@ -81,6 +86,7 @@ def test_window_sweep(w):
     run_case(spec, pts, ks, window_size=w)
 
 
+@pytest.mark.slow
 def test_chunked_driver():
     """Memory-bounded chunking (multiexp.rs:71-93 parity): 3 chunks with a
     ragged tail, partials combined on device."""

@@ -67,9 +67,10 @@ class Config:
     native_build_dir: str | None = None
     # fused-NTT leaf radix log2 (the reference's max_deg=8, fft.rs:15-16)
     ntt_leaf_log: int = 5
-    # digit-matmul NTT (ops/ntt_digit.py) leaf radix log2; bounded by the
-    # int32 accumulator: m * 37 * 127^2 < 2^31 -> leaf <= 7
-    ntt_digit_leaf_log: int = 7
+    # digit-matmul NTT (ops/ntt_digit.py) max leaf radix log2; bounded by
+    # the int32 accumulator (m * 37 * 127^2 < 2^31 -> leaf <= 11) and by
+    # matrix size/MXU utilization (measured best: 8)
+    ntt_digit_leaf_log: int = 8
     # large-NTT kernel: "digit" (MXU digit-matmul, ops/ntt_digit.py — the
     # r4 default, ~2.4x the fused path at 2^20) or "fused" (VPU multi-stage
     # Pallas, ops/pallas/ntt_fused.py)
@@ -108,7 +109,7 @@ class Config:
             cache_dir=os.environ.get("TPU_EC_CACHE_DIR") or None,
             native_build_dir=os.environ.get("TPU_EC_NATIVE_BUILD_DIR") or None,
             ntt_leaf_log=_env_int("TPU_EC_NTT_LEAF_LOG", 5) or 5,
-            ntt_digit_leaf_log=_env_int("TPU_EC_NTT_DIGIT_LEAF_LOG", 7) or 7,
+            ntt_digit_leaf_log=_env_int("TPU_EC_NTT_DIGIT_LEAF_LOG", 8) or 8,
             ntt_impl=os.environ.get("TPU_EC_NTT_IMPL", "digit"),
             # NOTE: no `or default` here — an explicit 0 means "disable"
             pallas_ec_min=_env_int("TPU_EC_PALLAS_EC_MIN", 1024),

@@ -350,6 +350,20 @@ class MultiexpKernel:
             self._jitted[key] = run
         return self._jitted[key]
 
+    def _fn_scan(self, n: int, window_size: int):
+        key = ("scan", n, window_size)
+        if key not in self._jitted:
+            from .msm_scan import msm_scan
+
+            ops = self.ops
+
+            @jax.jit
+            def run(points, scalars):
+                return msm_scan(ops, points, scalars, window_size=window_size)
+
+            self._jitted[key] = run
+        return self._jitted[key]
+
     def multiexp(
         self,
         bases,
@@ -374,10 +388,14 @@ class MultiexpKernel:
             if not signed:
                 method = "lattice"
             elif self.spec.ext == 1:
-                method = "pair"  # movement-minimal halving engine
+                # TPU: movement-minimal pair engine; CPU backend: the
+                # compile-light scan engine (XLA-CPU pays ~6 s per inlined
+                # point-op instance — the pair engine's unrolled rounds
+                # take minutes to compile there, ops/msm_scan.py header)
+                method = "pair" if jax.default_backend() != "cpu" else "scan"
             else:
                 method = "sorted"
-        if method in ("sorted", "coz", "pair"):
+        if method in ("sorted", "coz", "pair", "scan"):
             assert signed, f"{method} engine implements signed digits only"
             if n > self.chunk_size:
                 return self._multiexp_chunked(bases, scalars, window_size, method)
@@ -386,11 +404,13 @@ class MultiexpKernel:
             from .autotune import tuned_window
             from .msm_coz import default_window_size_coz
             from .msm_pair import default_window_size_pair
+            from .msm_scan import default_window_size_scan
             from .msm_sorted import default_window_size_sorted
 
             default_w = {
                 "coz": default_window_size_coz,
                 "pair": default_window_size_pair,
+                "scan": default_window_size_scan,
                 "sorted": default_window_size_sorted,
             }[method]
             w = (
@@ -407,6 +427,7 @@ class MultiexpKernel:
             fn = {
                 "coz": self._fn_coz,
                 "pair": self._fn_pair,
+                "scan": self._fn_scan,
                 "sorted": self._fn_sorted,
             }[method]
             with timer.phase("msm/dispatch"):

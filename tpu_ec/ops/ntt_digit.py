@@ -151,6 +151,45 @@ def inter_table288_np(
     return np.transpose(flat.reshape(n2, n1, L), (2, 0, 1)).copy()
 
 
+def inter_table288_device(
+    spec: FieldSpec, omega: int, log_n: int, log_m: int, log_n1: int
+) -> jnp.ndarray:
+    """Device-built (L16, n2, n1) 2^288-scaled twiddle table.
+
+    The numpy builder takes minutes at n2*n1 >= 2^22 (host Montgomery);
+    the same row-doubling runs in ~1 s on the chip via the Pallas mont
+    kernel.  Rows are kept in 2^288-scaled plain form (seed row = C =
+    2^288 mod p) while the doubling multiplier stays in R0-Montgomery
+    form, so mont(t*2^288, cur*R0) = t*cur*2^288 at every step.  Eager
+    (not traced): called at domain-constant setup like digit_consts."""
+    from .pallas.mont import mont_mul_planes
+
+    L = spec.n_limbs
+    p = spec.modulus
+    n1 = 1 << log_n1
+    n2 = 1 << (log_m - log_n1)
+    w_m = pow(omega, 1 << (log_n - log_m), p)
+    cur = jnp.asarray(twiddle_table_np(spec, w_m, log_n1)[:n1].T.copy())  # (L, n1)
+    C = int_to_limbs((1 << (16 * WIDE_LIMBS)) % p, L)
+    table = jnp.broadcast_to(
+        jnp.asarray(C.astype(np.uint32))[:, None, None], (L, 1, n1)
+    )
+    r = 1
+    while r < n2:
+        flat = table.reshape(L, r * n1)
+        mult = jnp.broadcast_to(cur[:, None, :], (L, r, n1)).reshape(L, r * n1)
+        grown = mont_mul_planes(spec, flat, mult).reshape(L, r, n1)
+        table = jnp.concatenate([table, grown], axis=1)
+        cur = mont_mul_planes(spec, cur, cur)
+        r *= 2
+    return table[:, :n2, :]
+
+
+# numpy tables above this element count take minutes on the host; build on
+# device instead (and skip the disk cache — they rebuild in ~1 s)
+_DEVICE_TABLE_MIN = 1 << 22
+
+
 # ---------------------------------------------------------------------------
 # axis-0 digit plumbing (pure jnp, fuses)
 # ---------------------------------------------------------------------------
@@ -421,13 +460,13 @@ class DigitDomain:
 
     @staticmethod
     def _plan(log_n: int, leaf: int) -> list[int]:
-        out = []
-        rest = log_n
-        while rest > leaf:
-            out.append(leaf)
-            rest -= leaf
-        out.append(rest)
-        return out
+        """Balanced factorization: fewest levels with factors <= leaf, each
+        factor as equal as possible (22, leaf 8 -> [8, 7, 7], not the
+        naive [8, 8, 6] whose tail wastes a matrix, and never a degenerate
+        [7, 7, 7, 1])."""
+        k = -(-log_n // leaf)
+        base, extra = divmod(log_n, k)
+        return [base + (1 if i < extra else 0) for i in range(k)]
 
     def _table_cache(self, kind: str, *key_parts) -> str | None:
         """Disk-cache path for one built table (the big inter tables take
@@ -464,13 +503,18 @@ class DigitDomain:
         log_rest = self.log_n
         for lf in self.plan[:-1]:
             n1_log = log_rest - lf
-            self.inter[(log_rest, n1_log)] = self._cached(
-                "inter288",
-                (self.log_n, int(self.inverse), log_rest, n1_log),
-                lambda lr=log_rest, nl=n1_log: inter_table288_np(
-                    spec, self.omega, self.log_n, lr, nl
-                ),
-            )
+            if (1 << log_rest) >= _DEVICE_TABLE_MIN:
+                # too big for host-side numpy Montgomery (minutes) or the
+                # disk cache (GBs): digit_consts builds it on device
+                self.inter[(log_rest, n1_log)] = None
+            else:
+                self.inter[(log_rest, n1_log)] = self._cached(
+                    "inter288",
+                    (self.log_n, int(self.inverse), log_rest, n1_log),
+                    lambda lr=log_rest, nl=n1_log: inter_table288_np(
+                        spec, self.omega, self.log_n, lr, nl
+                    ),
+                )
             if lf not in self.matrices:
                 w_m = pow(self.omega, 1 << (self.log_n - lf), p)
                 self.matrices[lf] = self._cached(
@@ -502,25 +546,44 @@ def get_digit_domain(spec: FieldSpec, log_n: int, inverse: bool, leaf: int) -> D
 
 def digit_consts(dom: DigitDomain):
     """Device-side constants for one domain; keep and pass as ``consts`` so
-    repeated calls skip the host->device upload."""
+    repeated calls skip the host->device upload.  Tables the host can't
+    build in reasonable time (None markers from DigitDomain._build) are
+    constructed on device here (~1 s each at 2^24)."""
     A = {k: jnp.asarray(v) for k, v in dom.matrices.items()}
-    inter = {k: jnp.asarray(v) for k, v in dom.inter.items()}
+    inter = {}
+    for (log_m, log_n1), v in dom.inter.items():
+        if v is not None:
+            inter[(log_m, log_n1)] = jnp.asarray(v)
+        elif jax.default_backend() == "cpu":
+            inter[(log_m, log_n1)] = jnp.asarray(
+                inter_table288_np(dom.spec, dom.omega, dom.log_n, log_m, log_n1)
+            )
+        else:
+            inter[(log_m, log_n1)] = jax.block_until_ready(
+                inter_table288_device(
+                    dom.spec, dom.omega, dom.log_n, log_m, log_n1
+                )
+            )
     return A, inter
 
 
-def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret) -> jnp.ndarray:
+def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret, level: int = 0) -> jnp.ndarray:
     """x: (d_in, m, M) int8 digit planes (values < 2^256, R-domain) ->
     (d_out, m, M) int32 RAW COLUMN planes of the size-m NTT (weighted sum
     < 2^280), natural order along axis 1.  Columns stay raw so the next
-    consumer (inter-twiddle / final-cleanup kernel) fuses the carry."""
+    consumer (inter-twiddle / final-cleanup kernel) fuses the carry.
+
+    ``level`` indexes dom.plan: each depth splits off plan[level] as the
+    leaf transform of that level."""
     A, inter = consts
     d_in, m_, M = x.shape
-    if log_m <= dom.leaf:
+    if level == len(dom.plan) - 1:
+        assert log_m == dom.plan[level]
         return jax.lax.dot_general(
             A[log_m], x, (((2, 3), (1, 0)), ((), ())),
             preferred_element_type=I32,
         )  # (d_out, m, M)
-    log_n2 = dom.leaf
+    log_n2 = dom.plan[level]
     log_n1 = log_m - log_n2
     n1, n2 = 1 << log_n1, 1 << log_n2
     x4 = x.reshape(d_in, n2, n1 * M)
@@ -543,7 +606,7 @@ def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret) -> jnp
     ydig = y.reshape(dom.d_in, n2, n1, M)
     # transpose and recurse over n1
     yt = jnp.swapaxes(ydig, 1, 2).reshape(dom.d_in, n1, n2 * M)
-    z = _rec(dom, yt, log_n1, consts, interpret)
+    z = _rec(dom, yt, log_n1, consts, interpret, level + 1)
     # k1-major flatten == natural order (X[k2 + n2*k1] = Z[k1, k2])
     return z.reshape(z.shape[0], n1 * n2, M)
 

@@ -52,113 +52,17 @@ from ..curves.params import CurveSpec
 from ..curves.point import point_ops
 from ..ops.msm import SCALAR_BITS, make_digits
 from ..ops.msm_pair import default_window_size_pair, horner_combine, msm_pair_buckets
+from ..ops.msm_scan import (
+    _fused_add,
+    masked_prefix_scan_add as _masked_prefix_scan_add,
+    masked_tree_sum as _masked_tree_sum,
+    scalar_mul_small as _scalar_mul_small,
+    scan_buckets as _scan_buckets,
+)
 
 tmap = jax.tree_util.tree_map
 I32 = jnp.int32
 U32 = jnp.uint32
-
-
-def _scalar_mul_small(ops, P_, k, nbits: int):
-    """k * P for a traced non-negative scalar k < 2^nbits (log-depth
-    double-and-add, MSB first) over a batched Jacobian pytree."""
-
-    def body(i, acc):
-        bit = (k >> (nbits - 1 - i)) & 1
-        acc = ops.double(acc)
-        return ops.select(bit == 1, ops.add(acc, P_), acc)
-
-    batch = jax.tree_util.tree_leaves(P_[0])[0].shape[:-1]
-    return jax.lax.fori_loop(0, nbits, body, ops.identity_jacobian(batch))
-
-
-def _roll_rows(x, shift, axis: int):
-    """jnp.roll with a traced shift along one axis (fori_loop-friendly)."""
-    return jnp.roll(x, shift, axis=axis)
-
-
-def _fused_add(ops, a, b, L):
-    """Point add on fused (..., 3L) coordinate blocks."""
-    au = tuple(a[..., i * L : (i + 1) * L] for i in range(3))
-    bu = tuple(b[..., i * L : (i + 1) * L] for i in range(3))
-    return jnp.concatenate(ops.add(au, bu), axis=-1)
-
-
-def _scan_buckets(ops, points, digits_t, *, half: int):
-    """Compile-light bucket accumulation: (W, n_loc) signed digits ->
-    fused (W, half+2, 3L) Jacobian buckets (slot 0 = digit-0 junk, slot
-    half+1 = scatter junk; both excluded downstream).
-
-    All windows batched; the only heavy op is one point-add instance inside
-    the segmented-scan fori_loop."""
-    L = ops.L
-    F = ops.F
-    W, n = digits_t.shape
-    x, y = points  # (n, L) each
-
-    key = jnp.abs(digits_t).astype(I32)  # (W, n)
-    sign = digits_t < 0
-    iota_n = jnp.arange(n, dtype=I32)
-    key_s, perm = jax.lax.sort_key_val(
-        key, jnp.broadcast_to(iota_n, (W, n))
-    )  # row-wise sort
-    xg = x[perm]  # (W, n, L) — THE one wide gather
-    yg = y[perm]
-    sg = jnp.take_along_axis(sign, perm, axis=1)
-    yg = jnp.where(sg[..., None], F.neg(yg), yg)
-    jac = ops.to_jacobian((xg, yg))  # z=0 for (0,0) identities
-    data = jnp.concatenate(jac, axis=-1)  # (W, n, 3L)
-
-    rounds = max(0, (n - 1).bit_length())  # ceil(log2 n)
-
-    def scan_round(r, st):
-        k, d = st
-        h = jnp.int32(1) << r
-        k_sh = _roll_rows(k, h, axis=1)
-        d_sh = _roll_rows(d, h, axis=1)
-        m = (k == k_sh) & (iota_n >= h)
-        added = _fused_add(ops, d, d_sh, L)
-        return k, jnp.where(m[..., None], added, d)
-
-    _, data = jax.lax.fori_loop(0, rounds, scan_round, (key_s, data))
-
-    nxt = jnp.concatenate(
-        [key_s[:, 1:], jnp.full((W, 1), -1, key_s.dtype)], axis=1
-    )
-    is_last = key_s != nxt
-    slot = jnp.where(is_last, jnp.minimum(key_s, half + 1), half + 1)
-    out = jnp.zeros((W, half + 2, 3 * L), U32)
-    wi = jnp.arange(W, dtype=I32)[:, None]
-    return out.at[wi, slot].set(data, mode="drop")
-
-
-def _masked_prefix_scan_add(ops, x, L, width: int):
-    """Inclusive prefix scan (point addition) along axis 1 of a fused
-    (W, width, 3L) block: one add instance in a fori_loop."""
-    iota = jnp.arange(width, dtype=I32)
-    rounds = max(0, (width - 1).bit_length())
-
-    def body(r, d):
-        h = jnp.int32(1) << r
-        d_sh = _roll_rows(d, h, axis=1)
-        m = iota >= h
-        return jnp.where(m[:, None], _fused_add(ops, d, d_sh, L), d)
-
-    return jax.lax.fori_loop(0, rounds, body, x)
-
-
-def _masked_tree_sum(ops, x, L, width: int):
-    """Sum along axis 1 of a fused (W, width, 3L) block (width a power of
-    two) via a masked halving tree at constant shape; result in row 0."""
-    iota = jnp.arange(width, dtype=I32)
-    rounds = max(0, width.bit_length() - 1)
-
-    def body(r, d):
-        h = jnp.int32(width) >> (r + 1)
-        d_sh = _roll_rows(d, -h, axis=1)
-        m = iota < h
-        return jnp.where(m[:, None], _fused_add(ops, d, d_sh, L), d)
-
-    return jax.lax.fori_loop(0, rounds, body, x)[:, 0]
 
 
 class DistMultiexpKernel:
