@@ -34,24 +34,26 @@ def main(log_ns):
     if os.path.exists(OUT):
         table = json.load(open(OUT))
     curve_tab = table.setdefault(SPEC.name, {})
+    span = int(os.environ.get("TPU_EC_AUTOTUNE_SPAN", "1"))
     for log_n in log_ns:
         n = 1 << log_n
         bases, scalars, _, _ = gen_inputs(n, seed=100 + log_n)
         w0 = default_window_size_pair(n)
         best_w, best_dt = None, float("inf")
-        for w in range(max(2, w0 - 1), min(16, w0 + 1) + 1):
+        for w in range(max(2, w0 - span), min(16, w0 + span) + 1):
             dt = timeit(
                 lambda: kern.multiexp(bases, scalars, window_size=w),
                 iters=2,
                 warmup=1,
-            )  # each w is a fresh ~10-20 min compile through the tunnel
-            print(f"2^{log_n} w={w}: {n/dt/1e6:.3f} M pts/s ({dt*1e3:.1f} ms)")
+            )  # each w is a fresh ~15-50 min compile through the tunnel
+            print(f"2^{log_n} w={w}: {n/dt/1e6:.3f} M pts/s ({dt*1e3:.1f} ms)", flush=True)
             if dt < best_dt:
                 best_w, best_dt = w, dt
-        curve_tab[str(log_n)] = best_w
-        print(f"2^{log_n}: best window {best_w} (model said {w0})")
-        with open(os.path.abspath(OUT), "w") as fh:
-            json.dump(table, fh, indent=1)
+            # write after EVERY config: a killed run keeps its measurements
+            curve_tab[str(log_n)] = best_w
+            with open(os.path.abspath(OUT), "w") as fh:
+                json.dump(table, fh, indent=1)
+        print(f"2^{log_n}: best window {best_w} (model said {w0})", flush=True)
     print(f"wrote {os.path.abspath(OUT)}")
 
 

@@ -1,0 +1,93 @@
+"""TPU EC-FFT sweep -> BENCH_ECFFT artifact (VERDICT r3 item 7).
+
+Mirrors the reference's bench shape: `ag-cuda-ec/benches/ec_fft.rs:24-58`
+sweeps degrees 2^0-2^11 against the ark_poly CPU FFT; here degrees
+2^6-2^11 run on the chip against the native C++ EC-FFT oracle
+(native/src/ec_native.cpp), bit-exact-gated in-run.
+
+Usage: python scripts/bench_ec_fft_tpu.py [log_n ...]   (default 6 8 10 11)
+"""
+
+import json
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
+
+import time
+
+import jax
+import numpy as np
+
+from tpu_ec.curves import oracle
+from tpu_ec.curves.params import BN254_G1
+from tpu_ec.curves.point import point_ops
+from tpu_ec.ops.ec_fft import EcFftKernel
+from tpu_ec.utils.cache import enable_compilation_cache
+from tpu_ec.utils.measure import timeit
+
+SPEC = BN254_G1
+OUT = _os.path.join(_os.path.dirname(__file__), "..", "BENCH_ECFFT_r04.json")
+
+
+def main(log_ns):
+    enable_compilation_cache()
+    ops = point_ops(SPEC)
+    kern = EcFftKernel(SPEC)
+    try:
+        from tpu_ec.native import available, native_curve
+
+        nat = native_curve(SPEC) if available() else None
+    except Exception:
+        nat = None
+
+    results = []
+    for log_n in log_ns:
+        n = 1 << log_n
+        pts = oracle.random_points(SPEC, n, seed=300 + log_n)
+        P = ops.to_jacobian(ops.from_affine_ints(pts))
+        t0 = time.time()
+        Y = jax.block_until_ready(kern.radix_ec_fft(P))
+        compile_s = time.time() - t0
+        # correctness: full sweep vs native C++ EC-FFT (or bigint head)
+        got = ops.to_affine_ints(ops.to_affine(Y))
+        if nat is not None:
+            want = nat.ec_fft(pts)
+            assert got == want, f"EC-FFT 2^{log_n} != native oracle"
+            check = "native C++ EC-FFT, all outputs"
+        else:
+            from tpu_ec.ops.ntt import get_domain
+
+            dom = get_domain(SPEC.scalar, log_n)
+            w = dom.omega
+            want0 = oracle.msm(SPEC, pts, [1] * n)
+            assert got[0] == want0, f"EC-FFT 2^{log_n} output0 mismatch"
+            check = "bigint oracle, output 0"
+        dt = timeit(kern.radix_ec_fft, P, iters=3, warmup=0)
+        results.append(
+            {
+                "log_n": log_n,
+                "points_per_s": round(n / dt, 1),
+                "ms": round(dt * 1e3, 2),
+                "compile_s": round(compile_s, 1),
+                "checked": check,
+            }
+        )
+        print(results[-1], flush=True)
+
+    artifact = {
+        "metric": "bn254_g1_ec_fft_throughput",
+        "unit": "points/s",
+        "impl": "EcFftKernel (tpu_ec/ops/ec_fft.py): Pease stages, 255-step double-and-add twiddle",
+        "hardware": "TPU v5e single chip (axon tunnel)",
+        "reference_shape": "ag-cuda-ec/benches/ec_fft.rs:24-58 (degrees 2^0-2^11 vs ark_poly)",
+        "timing": "3-iteration mean, forced-readback sync (utils/measure.py); compile excluded",
+        "results": results,
+    }
+    with open(_os.path.abspath(OUT), "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print("wrote", _os.path.abspath(OUT), flush=True)
+
+
+if __name__ == "__main__":
+    main([int(a) for a in _sys.argv[1:]] or [6, 8, 10, 11])

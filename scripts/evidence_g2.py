@@ -1,0 +1,95 @@
+"""G2 MSM at real sizes -> EVIDENCE_G2 artifact (VERDICT r3 item 6).
+
+BASELINE config[3] (G2 MSM) was only ever evidenced at n<=9; this runs
+n=2^12 through the generic scan engine against the native C++ Pippenger
+oracle (the native layer supports ext=2) and records throughput.  Run with
+JAX_PLATFORMS=cpu for the CPU number or under the axon env for the TPU
+number; the artifact accumulates both.
+
+Usage: python scripts/evidence_g2.py [log_n]   (default 12)
+"""
+
+import json
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), "..")))
+
+import time
+
+import jax
+
+# honor JAX_PLATFORMS=cpu even though the ambient sitecustomize imports jax
+# against the axon tunnel before this script runs (see tests/conftest.py) —
+# without this the script would CONTEND for the single-tenant chip
+if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+from tpu_ec.curves import oracle
+from tpu_ec.curves.params import BLS12_381_G2
+from tpu_ec.curves.point import point_ops
+from tpu_ec.ops.msm import MultiexpKernel
+from tpu_ec.utils.cache import enable_compilation_cache
+from tpu_ec.utils.measure import timeit
+
+OUT = _os.path.join(_os.path.dirname(__file__), "..", "EVIDENCE_G2_r04.json")
+
+
+def main(log_n: int):
+    enable_compilation_cache()
+    spec = BLS12_381_G2
+    ops = point_ops(spec)
+    n = 1 << log_n
+    pts = oracle.random_points(spec, n, seed=400)
+    ks = oracle.random_scalars(spec, n, seed=401)
+    bases = ops.from_affine_ints(pts)
+    scalars = ops.scalars_to_limbs(ks)
+    kern = MultiexpKernel(spec)
+    backend = jax.default_backend()
+    method = "scan" if backend == "cpu" else "sorted"
+
+    t0 = time.time()
+    out = jax.block_until_ready(
+        kern.multiexp(bases, scalars, method=method)
+    )
+    compile_s = time.time() - t0
+    got = ops.to_affine_ints(ops.to_affine(out))[0]
+    try:
+        from tpu_ec.native import available, native_curve
+
+        nat = native_curve(spec) if available() else None
+    except Exception:
+        nat = None
+    if nat is not None:
+        want = nat.msm_points(pts, ks)
+        oracle_name = "native C++ Pippenger (ext=2)"
+    else:
+        want = oracle.msm(spec, pts, ks)
+        oracle_name = "python bigint"
+    assert got == want, "G2 MSM mismatch vs oracle"
+    dt = timeit(kern.multiexp, bases, scalars, iters=3, warmup=0)
+
+    entry = {
+        "backend": backend,
+        "engine": method,
+        "log_n": log_n,
+        "points_per_s": round(n / dt, 1),
+        "ms": round(dt * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "oracle": oracle_name,
+        "bit_exact": True,
+    }
+    art = {"metric": "bls12_381_g2_msm", "runs": []}
+    if _os.path.exists(OUT):
+        art = json.load(open(OUT))
+    art["runs"] = [
+        r for r in art["runs"] if (r["backend"], r["log_n"]) != (backend, log_n)
+    ] + [entry]
+    with open(_os.path.abspath(OUT), "w") as fh:
+        json.dump(art, fh, indent=1)
+    print(entry, flush=True)
+    print("wrote", _os.path.abspath(OUT), flush=True)
+
+
+if __name__ == "__main__":
+    main(int(_sys.argv[1]) if len(_sys.argv) > 1 else 12)

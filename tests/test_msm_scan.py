@@ -74,6 +74,26 @@ def test_bls12_381_g1():
     run_case(spec, pts, ks)
 
 
+@pytest.mark.slow
+def test_g2_vs_oracle():
+    """G2 (Fp2 tower) through the generic fused blocks (3*ext*L columns);
+    slow: the Fp2 point-add instance compiles ~5 min on XLA-CPU."""
+    from tpu_ec.curves.params import BLS12_381_G2
+
+    spec = BLS12_381_G2
+    ops = point_ops(spec)
+    kern = MultiexpKernel(spec)
+    pts = oracle.random_points(spec, N, seed=212)
+    ks = oracle.random_scalars(spec, N, seed=213)
+    out = kern.multiexp(
+        ops.from_affine_ints(pts),
+        ops.scalars_to_limbs(ks),
+        window_size=W,
+        method="scan",
+    )
+    assert ops.to_affine_ints(ops.to_affine(out))[0] == oracle.msm(spec, pts, ks)
+
+
 def test_auto_selects_scan_on_cpu():
     """On the CPU backend, method='auto' must route G1 to the scan engine
     (the compile-light default that keeps this suite bounded)."""

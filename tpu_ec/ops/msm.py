@@ -387,12 +387,14 @@ class MultiexpKernel:
         if method == "auto":
             if not signed:
                 method = "lattice"
+            elif jax.default_backend() == "cpu":
+                # CPU backend: the compile-light scan engine for both G1
+                # and G2 (XLA-CPU pays ~6 s per inlined point-op instance —
+                # the movement-minimal engines take minutes to compile
+                # there, ops/msm_scan.py header)
+                method = "scan"
             elif self.spec.ext == 1:
-                # TPU: movement-minimal pair engine; CPU backend: the
-                # compile-light scan engine (XLA-CPU pays ~6 s per inlined
-                # point-op instance — the pair engine's unrolled rounds
-                # take minutes to compile there, ops/msm_scan.py header)
-                method = "pair" if jax.default_backend() != "cpu" else "scan"
+                method = "pair"  # movement-minimal halving engine
             else:
                 method = "sorted"
         if method in ("sorted", "coz", "pair", "scan"):

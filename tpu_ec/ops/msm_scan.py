@@ -39,11 +39,29 @@ I32 = jnp.int32
 U32 = jnp.uint32
 
 
+def _jac_unfuse(ops: PointOps, D):
+    """Fused (..., 3*ext*L) block -> Jacobian coordinate pytree (G1 coords
+    are single limb arrays, G2 coords are (c0, c1) Fp2 pairs)."""
+    L = ops.L
+    if ops.spec.ext == 1:
+        return tuple(D[..., i * L : (i + 1) * L] for i in range(3))
+    return tuple(
+        (
+            D[..., (2 * i) * L : (2 * i + 1) * L],
+            D[..., (2 * i + 1) * L : (2 * i + 2) * L],
+        )
+        for i in range(3)
+    )
+
+
+def _tree_fuse(tree):
+    """Coordinate pytree -> one fused block (leaf order = tree_leaves)."""
+    return jnp.concatenate(jax.tree_util.tree_leaves(tree), axis=-1)
+
+
 def _fused_add(ops: PointOps, a, b, L: int):
-    """Point add on fused (..., 3L) coordinate blocks."""
-    au = tuple(a[..., i * L : (i + 1) * L] for i in range(3))
-    bu = tuple(b[..., i * L : (i + 1) * L] for i in range(3))
-    return jnp.concatenate(ops.add(au, bu), axis=-1)
+    """Point add on fused (..., 3*ext*L) coordinate blocks."""
+    return _tree_fuse(ops.add(_jac_unfuse(ops, a), _jac_unfuse(ops, b)))
 
 
 def scalar_mul_small(ops: PointOps, P_, k, nbits: int):
@@ -60,24 +78,25 @@ def scalar_mul_small(ops: PointOps, P_, k, nbits: int):
 
 
 def scan_buckets(ops: PointOps, points, digits_t: jnp.ndarray, *, half: int):
-    """(W, n) signed digits + affine points -> fused (W, half+2, 3L)
+    """(W, n) signed digits + affine points -> fused (W, half+2, 3*ext*L)
     Jacobian buckets (slot 0 = digit-0 junk, slot half+1 = scatter junk;
     both excluded downstream)."""
     L = ops.L
     F = ops.F
     W, n = digits_t.shape
-    x, y = points  # (n, L) each
+    x, y = points  # G1: (n, L) arrays; G2: (c0, c1) pairs of them
 
     key = jnp.abs(digits_t).astype(I32)
     sign = digits_t < 0
     iota_n = jnp.arange(n, dtype=I32)
     key_s, perm = jax.lax.sort_key_val(key, jnp.broadcast_to(iota_n, (W, n)))
-    xg = x[perm]  # (W, n, L) — THE one wide gather
-    yg = y[perm]
+    xg = tmap(lambda l: l[perm], x)  # (W, n, L) leaves — the one wide gather
+    yg = tmap(lambda l: l[perm], y)
     sg = jnp.take_along_axis(sign, perm, axis=1)
-    yg = jnp.where(sg[..., None], F.neg(yg), yg)
+    yneg = F.neg(yg)
+    yg = tmap(lambda a, b: jnp.where(sg[..., None], a, b), yneg, yg)
     jac = ops.to_jacobian((xg, yg))  # z=0 for (0,0) identities
-    data = jnp.concatenate(jac, axis=-1)  # (W, n, 3L)
+    data = _tree_fuse(jac)  # (W, n, 3*ext*L)
 
     rounds = max(0, (n - 1).bit_length())
 
@@ -95,7 +114,7 @@ def scan_buckets(ops: PointOps, points, digits_t: jnp.ndarray, *, half: int):
     nxt = jnp.concatenate([key_s[:, 1:], jnp.full((W, 1), -1, key_s.dtype)], axis=1)
     is_last = key_s != nxt
     slot = jnp.where(is_last, jnp.minimum(key_s, half + 1), half + 1)
-    out = jnp.zeros((W, half + 2, 3 * L), U32)
+    out = jnp.zeros((W, half + 2, 3 * ops.spec.ext * L), U32)
     wi = jnp.arange(W, dtype=I32)[:, None]
     return out.at[wi, slot].set(data, mode="drop")
 
@@ -138,10 +157,10 @@ def msm_scan(
     window_size: int,
 ):
     """One full MSM -> Jacobian point batch shape (1,).  Trace-time body;
-    jit via MultiexpKernel.  G1 only (Fp2 towers use sorted)."""
+    jit via MultiexpKernel.  Generic over the base field (G1 and G2: the
+    fused blocks carry 3*ext*L columns)."""
     from .msm_pair import horner_combine
 
-    assert ops.spec.ext == 1, "scan engine is G1-only"
     L = ops.L
     w = window_size
     num_windows = -(-SCALAR_BITS // w)
@@ -150,11 +169,11 @@ def msm_scan(
     fused = scan_buckets(
         ops, points, jnp.swapaxes(digits, 0, 1), half=half
     )
-    cur = fused[:, 1 : half + 1, :]  # (W, half, 3L): values 1..half
+    cur = fused[:, 1 : half + 1, :]  # (W, half, 3*ext*L): values 1..half
     rev = cur[:, ::-1, :]
     pre = masked_prefix_scan_add(ops, rev, L, half)
-    tri_f = masked_tree_sum(ops, pre, L, half)  # (W, 3L)
-    partials = tuple(tri_f[..., i * L : (i + 1) * L] for i in range(3))
+    tri_f = masked_tree_sum(ops, pre, L, half)  # (W, 3*ext*L)
+    partials = _jac_unfuse(ops, tri_f)
     return horner_combine(ops, partials, w)
 
 

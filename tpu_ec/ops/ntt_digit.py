@@ -189,6 +189,28 @@ def inter_table288_device(
 # device instead (and skip the disk cache — they rebuild in ~1 s)
 _DEVICE_TABLE_MIN = 1 << 22
 
+# levels with at least this many elements never materialize the full Bailey
+# table OR the full raw-column tensor (at 2^26 those are 4.3 GB and 9.9 GB
+# — past the chip's HBM together with the data): the level runs in
+# _CHUNK_COUNT slices of the leaf-output axis k2, with each slice's
+# twiddle block synthesized in-trace from factored seeds
+# (T[k2,j1] = base[k2 mod c, j1] * w^(c*floor(k2/c)*j1)).
+_CHUNK_MIN = 1 << 25
+_CHUNK_COUNT = 8
+
+
+def _mont_planes(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    """(L, N) plane Montgomery product; jnp path on CPU (Pallas-interpret
+    lowering is pathological there), Pallas kernel otherwise."""
+    if interpret:
+        from ..fields.fp import field_ops
+
+        f = field_ops(spec)
+        return jnp.swapaxes(f.mul(jnp.swapaxes(a, 0, 1), jnp.swapaxes(b, 0, 1)), 0, 1)
+    from .pallas.mont import mont_mul_planes
+
+    return mont_mul_planes(spec, a, b, interpret=False)
+
 
 # ---------------------------------------------------------------------------
 # axis-0 digit plumbing (pure jnp, fuses)
@@ -503,7 +525,12 @@ class DigitDomain:
         log_rest = self.log_n
         for lf in self.plan[:-1]:
             n1_log = log_rest - lf
-            if (1 << log_rest) >= _DEVICE_TABLE_MIN:
+            if (1 << log_rest) >= _CHUNK_MIN:
+                # never materialized: the level runs chunked over k2 with
+                # in-trace twiddle synthesis (digit_consts builds the
+                # factored seeds)
+                self.inter[(log_rest, n1_log)] = "factored"
+            elif (1 << log_rest) >= _DEVICE_TABLE_MIN:
                 # too big for host-side numpy Montgomery (minutes) or the
                 # disk cache (GBs): digit_consts builds it on device
                 self.inter[(log_rest, n1_log)] = None
@@ -550,11 +577,14 @@ def digit_consts(dom: DigitDomain):
     build in reasonable time (None markers from DigitDomain._build) are
     constructed on device here (~1 s each at 2^24)."""
     A = {k: jnp.asarray(v) for k, v in dom.matrices.items()}
+    interpret = jax.default_backend() == "cpu"
     inter = {}
     for (log_m, log_n1), v in dom.inter.items():
-        if v is not None:
+        if isinstance(v, np.ndarray):
             inter[(log_m, log_n1)] = jnp.asarray(v)
-        elif jax.default_backend() == "cpu":
+        elif v == "factored":
+            inter[(log_m, log_n1)] = _factored_seeds(dom, log_m, log_n1, interpret)
+        elif interpret:
             inter[(log_m, log_n1)] = jnp.asarray(
                 inter_table288_np(dom.spec, dom.omega, dom.log_n, log_m, log_n1)
             )
@@ -565,6 +595,38 @@ def digit_consts(dom: DigitDomain):
                 )
             )
     return A, inter
+
+
+def _factored_seeds(dom: DigitDomain, log_m: int, log_n1: int, interpret: bool) -> dict:
+    """Seeds for in-trace chunked twiddle synthesis at one level:
+    cur_pows[t][:, j1] = w_m^(2^t * j1) in R0-Montgomery form (so
+    mont(x*2^288, cur) = x*w^... *2^288 stays pre-scaled), plus the
+    2^288-scaled seed row and the Montgomery one-row."""
+    spec = dom.spec
+    p = spec.modulus
+    L = spec.n_limbs
+    n1 = 1 << log_n1
+    log_n2 = log_m - log_n1
+    w_m = pow(dom.omega, 1 << (dom.log_n - log_m), p)
+    cur0 = dom._cached(
+        "curpow0",
+        (dom.log_n, int(dom.inverse), log_m, log_n1),
+        lambda: twiddle_table_np(spec, w_m, log_n1)[:n1].T.copy(),
+    )  # (L, n1) Montgomery form
+    cur = jnp.asarray(cur0)
+    pows = [cur]
+    for _ in range(log_n2 - 1):
+        cur = jax.jit(lambda c: _mont_planes(spec, c, c, interpret))(cur)
+        pows.append(cur)
+    pows = [jax.block_until_ready(c) for c in pows]
+    C = int_to_limbs((1 << (16 * WIDE_LIMBS)) % p, L).astype(np.uint32)
+    one = int_to_limbs(spec.one, L).astype(np.uint32)
+    return {
+        "cur_pows": pows,
+        "c_row": jnp.broadcast_to(jnp.asarray(C)[:, None], (L, n1)),
+        "one_row": jnp.broadcast_to(jnp.asarray(one)[:, None], (L, n1)),
+        "nc": min(_CHUNK_COUNT, 1 << log_n2),
+    }
 
 
 def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret, level: int = 0) -> jnp.ndarray:
@@ -587,28 +649,83 @@ def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret, level:
     log_n1 = log_m - log_n2
     n1, n2 = 1 << log_n1, 1 << log_n2
     x4 = x.reshape(d_in, n2, n1 * M)
-    # leaf NTT over j2 (axis 1), batched over (j1, M); contraction axes
-    # (d, j2) are the two leading axes — no data transpose needed
-    cols = jax.lax.dot_general(
-        A[log_n2], x4, (((2, 3), (1, 0)), ((), ())),
-        preferred_element_type=I32,
-    )  # (d_out, n2, n1*M)
-    # inter twiddle T'[k2, j1]: ONE fused kernel (carry -> pack -> wide
-    # Montgomery -> digit split)
-    T = inter[(log_m, log_n1)]  # (L16, n2, n1)
-    tfull = jnp.broadcast_to(
-        T[:, :, :, None], (T.shape[0], n2, n1, M)
-    ).reshape(T.shape[0], n2 * n1 * M)
-    y = inter_twiddle(
-        dom.spec, cols.reshape(cols.shape[0], n2 * n1 * M), tfull,
-        interpret=interpret,
-    )  # (d_in, n2*n1*M) i8
-    ydig = y.reshape(dom.d_in, n2, n1, M)
+    T = inter[(log_m, log_n1)]
+    if isinstance(T, dict):
+        ydig = _chunked_level(dom, A[log_n2], x4, T, n1, n2, M, interpret)
+    else:
+        # leaf NTT over j2 (axis 1), batched over (j1, M); contraction axes
+        # (d, j2) are the two leading axes — no data transpose needed
+        cols = jax.lax.dot_general(
+            A[log_n2], x4, (((2, 3), (1, 0)), ((), ())),
+            preferred_element_type=I32,
+        )  # (d_out, n2, n1*M)
+        # inter twiddle T'[k2, j1]: ONE fused kernel (carry -> pack -> wide
+        # Montgomery -> digit split)
+        tfull = jnp.broadcast_to(
+            T[:, :, :, None], (T.shape[0], n2, n1, M)
+        ).reshape(T.shape[0], n2 * n1 * M)
+        y = inter_twiddle(
+            dom.spec, cols.reshape(cols.shape[0], n2 * n1 * M), tfull,
+            interpret=interpret,
+        )  # (d_in, n2*n1*M) i8
+        ydig = y.reshape(dom.d_in, n2, n1, M)
     # transpose and recurse over n1
     yt = jnp.swapaxes(ydig, 1, 2).reshape(dom.d_in, n1, n2 * M)
     z = _rec(dom, yt, log_n1, consts, interpret, level + 1)
     # k1-major flatten == natural order (X[k2 + n2*k1] = Z[k1, k2])
     return z.reshape(z.shape[0], n1 * n2, M)
+
+
+def _chunked_level(dom, A2, x4, seeds, n1: int, n2: int, M: int, interpret) -> jnp.ndarray:
+    """One four-step level in nc slices of the leaf-output axis k2:
+    neither the full raw-column tensor nor the full Bailey table ever
+    exists.  Per chunk: slice the leaf matrix's k rows, synthesize the
+    (L, c, n1) twiddle block as mont(base, row_a) where base holds rows
+    0..c-1 (2^288-scaled) and row_a = w^(a*j1) (R0-Montgomery), then run
+    the fused inter kernel.  Extra cost: ~1 Montgomery mul per element."""
+    spec = dom.spec
+    L = spec.n_limbs
+    pows = seeds["cur_pows"]  # pows[t][:, j1] = w^(2^t j1), R0-form
+    nc = seeds["nc"]
+    c = n2 // nc
+    logc = max(0, c.bit_length() - 1)
+    # base rows 0..c-1 by doubling (2^288-scaled)
+    base = seeds["c_row"][:, None, :]  # (L, 1, n1)
+    r = 1
+    while r < c:
+        t = r.bit_length() - 1
+        flat = base.reshape(L, r * n1)
+        mult = jnp.broadcast_to(pows[t][:, None, :], (L, r, n1)).reshape(L, r * n1)
+        grown = _mont_planes(spec, flat, mult, interpret).reshape(L, r, n1)
+        base = jnp.concatenate([base, grown], axis=1)
+        r *= 2
+    base_flat = base.reshape(L, c * n1)
+    parts = []
+    for ci in range(nc):
+        a = ci * c
+        cols_c = jax.lax.dot_general(
+            A2[:, a : a + c], x4, (((2, 3), (1, 0)), ((), ())),
+            preferred_element_type=I32,
+        )  # (d_out, c, n1*M)
+        row = seeds["one_row"]
+        t = logc
+        aa = a >> logc
+        while aa:
+            if aa & 1:
+                row = _mont_planes(spec, row, pows[t], interpret)
+            aa >>= 1
+            t += 1
+        mult = jnp.broadcast_to(row[:, None, :], (L, c, n1)).reshape(L, c * n1)
+        tchunk = _mont_planes(spec, base_flat, mult, interpret)  # 2^288-scaled
+        tfull = jnp.broadcast_to(
+            tchunk.reshape(L, c, n1, 1), (L, c, n1, M)
+        ).reshape(L, c * n1 * M)
+        y_c = inter_twiddle(
+            spec, cols_c.reshape(cols_c.shape[0], c * n1 * M), tfull,
+            interpret=interpret,
+        )
+        parts.append(y_c.reshape(dom.d_in, c, n1, M))
+    return jnp.concatenate(parts, axis=1)  # (d_in, n2, n1, M)
 
 
 def digit_ntt_planes(
