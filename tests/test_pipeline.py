@@ -34,7 +34,7 @@ def test_commit_coefficient_basis():
     spec = BN254_G1
     ops = point_ops(spec)
     fr = field_ops(spec.scalar)
-    n = 16
+    n = 32  # same shape as test_commit_vs_oracle -> shares one compiled MSM
     rng = random.Random(42)
     coeff_ints = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
     pts = oracle.random_points(spec, n, seed=43)
@@ -44,3 +44,32 @@ def test_commit_coefficient_basis():
     )
     got = ops.to_affine_ints(ops.to_affine(commit))[0]
     assert got == oracle.msm(spec, pts, coeff_ints)
+
+
+def test_commit_sparse_matches_dense():
+    """R1CS-density commit: zeros dropped via DensityTracker must equal the
+    dense commit over the same effective terms (multiexp_cpu.rs:85-207)."""
+    from tpu_ec.ops.density import DensityTracker
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    fr = field_ops(spec.scalar)
+    n = 16
+    rng = random.Random(44)
+    coeff_ints = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
+    pts = oracle.random_points(spec, n, seed=45)
+    dt = DensityTracker()
+    touched = []
+    for i in range(n):
+        dt.add_element()
+        if i % 3 != 0:  # ~2/3 density
+            dt.inc(i)
+            touched.append(i)
+    # untouched slots carry structural zeros
+    eff = [coeff_ints[i] if i in touched else 0 for i in range(n)]
+    pipe = CommitPipeline(spec)
+    commit = pipe.commit_sparse(
+        fr.from_ints(eff), ops.from_affine_ints(pts), dt
+    )
+    got = ops.to_affine_ints(ops.to_affine(commit))[0]
+    assert got == oracle.msm(spec, pts, eff)

@@ -48,3 +48,18 @@ class CommitPipeline:
         — no NTT, one conversion + MSM."""
         scalars = self.fr.from_mont(coeffs)
         return self.msm.multiexp(srs, scalars)
+
+    def commit_sparse(self, coeffs: jnp.ndarray, basis, density, skip: int = 0):
+        """R1CS-style sparse commit: drop bases whose scalars are
+        structurally zero before dispatch (the reference prover's
+        DensityTracker path, ec-gpu-proxy/src/multiexp_cpu.rs:85-207 +
+        the (bases, skip) Source convention :16-83).  ``density`` is a
+        DensityTracker/FullDensity over the coefficient slots; the mask
+        compacts (bases, scalars) once and the dense remainder runs
+        through the normal engine — sparsity as a pre-pass, not a
+        per-element branch."""
+        from .density import compact_by_density
+
+        scalars = self.fr.from_mont(coeffs)
+        b, s = compact_by_density(density, basis, scalars, skip=skip)
+        return self.msm.multiexp(b, s)
