@@ -52,7 +52,8 @@ def main(log_ns):
         # correctness: full sweep vs native C++ EC-FFT (or bigint head)
         got = ops.to_affine_ints(ops.to_affine(Y))
         if nat is not None:
-            want = nat.ec_fft(pts)
+            jac = nat.from_affine(nat.affine_from_points(pts))
+            want = nat.affine_to_points(nat.to_affine(nat.ec_fft(jac)))
             assert got == want, f"EC-FFT 2^{log_n} != native oracle"
             check = "native C++ EC-FFT, all outputs"
         else:

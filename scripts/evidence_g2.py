@@ -40,8 +40,20 @@ def main(log_n: int):
     spec = BLS12_381_G2
     ops = point_ops(spec)
     n = 1 << log_n
-    pts = oracle.random_points(spec, n, seed=400)
-    ks = oracle.random_scalars(spec, n, seed=401)
+    # generate k*G points via the native batch scalar-mul (the python
+    # oracle takes tens of minutes for 2^12 G2 points)
+    import numpy as np
+
+    from tpu_ec.native import native_curve
+
+    nc = native_curve(spec)
+    rng = np.random.default_rng(400)
+    kgen = np.zeros((n, 4), dtype=np.uint64)
+    kgen[:, 0] = rng.integers(1, 1 << 63, n, dtype=np.uint64)
+    G = nc.affine_from_points([oracle.generator(spec)])
+    jac = nc.scalar_mul(np.broadcast_to(G, (n, G.shape[1])).copy(), kgen)
+    pts = nc.affine_to_points(nc.to_affine(jac))
+    ks = [int(v) for v in rng.integers(0, 1 << 63, n, dtype=np.uint64)]
     bases = ops.from_affine_ints(pts)
     scalars = ops.scalars_to_limbs(ks)
     kern = MultiexpKernel(spec)

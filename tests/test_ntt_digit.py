@@ -115,6 +115,24 @@ def test_inter_table_values():
             assert got == (pow(w_m, k2 * j1, p) * (1 << 288)) % p
 
 
+def test_chunked_level_matches_oracle(monkeypatch):
+    """The huge-n path (chunked k2 slices + in-trace factored twiddle
+    synthesis, used above 2^25 elements) forced on at test scale."""
+    import tpu_ec.ops.ntt_digit as nd
+
+    monkeypatch.setattr(nd, "_CHUNK_MIN", 1 << 9)
+    nd.get_digit_domain.cache_clear()
+    try:
+        spec = BLS12_381_FR
+        f = field_ops(spec)
+        rng = random.Random(21)
+        vals = [rng.randrange(spec.modulus) for _ in range(1 << 10)]
+        y = nd.digit_ntt_planes(spec, _planes(f, vals), leaf=4)
+        assert _ints(f, y) == ntt_ref(spec, vals)
+    finally:
+        nd.get_digit_domain.cache_clear()
+
+
 def test_digit_domain_bounds():
     dom = get_digit_domain(BLS12_381_FR, 20, False, 7)
     assert dom.plan == [7, 7, 6]

@@ -196,7 +196,7 @@ _DEVICE_TABLE_MIN = 1 << 22
 # twiddle block synthesized in-trace from factored seeds
 # (T[k2,j1] = base[k2 mod c, j1] * w^(c*floor(k2/c)*j1)).
 _CHUNK_MIN = 1 << 25
-_CHUNK_COUNT = 8
+_CHUNK_COUNT = 16
 
 
 def _mont_planes(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, interpret: bool) -> jnp.ndarray:
@@ -380,11 +380,14 @@ def _inter_core(wm: WideMont, cols: list, t16: list, n_dig: int, d_out: int, can
 @functools.lru_cache(maxsize=None)
 def _inter_call(
     spec: FieldSpec, dc: int, n_dig: int, d_out: int, n: int, block: int,
-    canonical: bool, interpret: bool,
+    canonical: bool, interpret: bool, const_t: bool = False, in_i8: bool = False,
 ):
-    """Pallas kernel: (dc, n) i32 matmul columns x (16, n) u32 twiddles ->
-    (d_out, n) i8 digits, or (16, n) u32 canonical limbs.  One VMEM-resident
-    pass: carry -> pack -> wide Montgomery -> split."""
+    """Pallas kernel: (dc, n) i32 matmul columns (or i8 digits, ``in_i8``)
+    x (16, n) u32 twiddles -> (d_out, n) i8 digits, or (16, n) u32
+    canonical limbs.  One VMEM-resident pass: carry -> pack -> wide
+    Montgomery -> split.  ``const_t``: the twiddle input is one (16, block)
+    tile served to every grid step (a per-transform constant — avoids
+    materializing an (16, n) broadcast in HBM)."""
     wm = WideMont(spec)
     L16 = spec.n_limbs
 
@@ -401,8 +404,13 @@ def _inter_call(
 
     rows_out = L16 if canonical else d_out
     dt_out = U32 if canonical else I8
+    dt_in = I8 if in_i8 else I32
     cspec = pl.BlockSpec((dc, block), lambda i: (0, i), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((L16, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec(
+        (L16, block),
+        (lambda i: (0, 0)) if const_t else (lambda i: (0, i)),
+        memory_space=pltpu.VMEM,
+    )
     ospec = pl.BlockSpec((rows_out, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -413,7 +421,7 @@ def _inter_call(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(n) * (2 * 18 * 16 + 18 * 18) * 2,
-            bytes_accessed=n * (4 * dc + 4 * L16 + rows_out * (4 if canonical else 1)),
+            bytes_accessed=n * ((1 if in_i8 else 4) * dc + 4 * L16 + rows_out * (4 if canonical else 1)),
             transcendentals=0,
         ),
     )
@@ -421,10 +429,12 @@ def _inter_call(
 
 def inter_twiddle(
     spec: FieldSpec,
-    cols: jnp.ndarray,  # (dc, N) i32 raw matmul columns, value < 2^280
-    t16: jnp.ndarray,  # (L16, N) u32 limbs (plain twiddle * 2^288)
+    cols: jnp.ndarray,  # (dc, N) i32 raw matmul columns (or i8 digits)
+    t16: jnp.ndarray,  # (L16, N) u32 limbs (plain twiddle * 2^288), or
+    #                    (L16,) when const_t (one per-transform constant)
     *,
     canonical: bool = False,
+    const_t: bool = False,
     block: int = 1024,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -432,13 +442,17 @@ def inter_twiddle(
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     dc, n = cols.shape
+    in_i8 = cols.dtype == I8
     d_out = _digit_count(16 * spec.n_limbs)
     n_dig = _digit_count(16 * WIDE_LIMBS)  # 42: covers any < 2^288 value
     if interpret:
         # CPU path: same core as plain jnp (Pallas-interpret is pathologically
         # slow to lower; the core is shared so results are bit-identical)
         cl = [cols[e].astype(U32) for e in range(dc)]
-        tl = [t16[i] for i in range(spec.n_limbs)]
+        if const_t:
+            tl = [jnp.broadcast_to(t16[i], cl[0].shape) for i in range(spec.n_limbs)]
+        else:
+            tl = [t16[i] for i in range(spec.n_limbs)]
         out = _inter_core(_wide_mont(spec), cl, tl, n_dig, d_out, canonical)
         if canonical:
             return jnp.stack(out, axis=0)
@@ -446,10 +460,13 @@ def inter_twiddle(
     npad = -(-n // block) * block
     if npad != n:
         cols = jnp.pad(cols, ((0, 0), (0, npad - n)))
-        t16 = jnp.pad(t16, ((0, 0), (0, npad - n)))
-    out = _inter_call(spec, dc, n_dig, d_out, npad, block, canonical, False)(
-        cols, t16
-    )
+    if const_t:
+        t_arg = jnp.broadcast_to(t16[:, None], (spec.n_limbs, block))
+    else:
+        t_arg = jnp.pad(t16, ((0, 0), (0, npad - n))) if npad != n else t16
+    out = _inter_call(
+        spec, dc, n_dig, d_out, npad, block, canonical, False, const_t, in_i8
+    )(cols, t_arg)
     return out[:, :n]
 
 
@@ -621,11 +638,12 @@ def _factored_seeds(dom: DigitDomain, log_m: int, log_n1: int, interpret: bool) 
     pows = [jax.block_until_ready(c) for c in pows]
     C = int_to_limbs((1 << (16 * WIDE_LIMBS)) % p, L).astype(np.uint32)
     one = int_to_limbs(spec.one, L).astype(np.uint32)
+    # NOTE: no plain ints in this dict — it travels through jit as a
+    # pytree and every leaf gets traced; chunk counts derive statically
     return {
         "cur_pows": pows,
         "c_row": jnp.broadcast_to(jnp.asarray(C)[:, None], (L, n1)),
         "one_row": jnp.broadcast_to(jnp.asarray(one)[:, None], (L, n1)),
-        "nc": min(_CHUNK_COUNT, 1 << log_n2),
     }
 
 
@@ -641,6 +659,31 @@ def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret, level:
     d_in, m_, M = x.shape
     if level == len(dom.plan) - 1:
         assert log_m == dom.plan[level]
+        if m_ * M >= _CHUNK_MIN:
+            # chunked tail: matmul + carry-to-digits kernel (T = 2^288, a
+            # value-preserving pass mod p) in M slices, so the full
+            # (d_out, n) int32 column tensor never exists
+            C16 = jnp.asarray(
+                int_to_limbs(
+                    (1 << (16 * WIDE_LIMBS)) % dom.spec.modulus,
+                    dom.spec.n_limbs,
+                ).astype(np.uint32)
+            )
+            nc = min(_CHUNK_COUNT, M)
+            mc = M // nc
+            parts = []
+            for ci in range(nc):
+                xc = x[:, :, ci * mc : (ci + 1) * mc]
+                cols_c = jax.lax.dot_general(
+                    A[log_m], xc, (((2, 3), (1, 0)), ((), ())),
+                    preferred_element_type=I32,
+                )  # (d_out, m, mc)
+                dig_c = inter_twiddle(
+                    dom.spec, cols_c.reshape(cols_c.shape[0], m_ * mc),
+                    C16, const_t=True, interpret=interpret,
+                )  # (d_in, m*mc) i8, value < 2^256 (== mod p)
+                parts.append(dig_c.reshape(dom.d_in, m_, mc))
+            return jnp.concatenate(parts, axis=2)
         return jax.lax.dot_general(
             A[log_m], x, (((2, 3), (1, 0)), ((), ())),
             preferred_element_type=I32,
@@ -650,7 +693,7 @@ def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret, level:
     n1, n2 = 1 << log_n1, 1 << log_n2
     x4 = x.reshape(d_in, n2, n1 * M)
     T = inter[(log_m, log_n1)]
-    if isinstance(T, dict):
+    if isinstance(T, dict) or n2 * n1 * M >= _CHUNK_MIN:
         ydig = _chunked_level(dom, A[log_n2], x4, T, n1, n2, M, interpret)
     else:
         # leaf NTT over j2 (axis 1), batched over (j1, M); contraction axes
@@ -676,30 +719,33 @@ def _rec(dom: DigitDomain, x: jnp.ndarray, log_m: int, consts, interpret, level:
     return z.reshape(z.shape[0], n1 * n2, M)
 
 
-def _chunked_level(dom, A2, x4, seeds, n1: int, n2: int, M: int, interpret) -> jnp.ndarray:
-    """One four-step level in nc slices of the leaf-output axis k2:
-    neither the full raw-column tensor nor the full Bailey table ever
-    exists.  Per chunk: slice the leaf matrix's k rows, synthesize the
-    (L, c, n1) twiddle block as mont(base, row_a) where base holds rows
-    0..c-1 (2^288-scaled) and row_a = w^(a*j1) (R0-Montgomery), then run
-    the fused inter kernel.  Extra cost: ~1 Montgomery mul per element."""
+def _chunked_level(dom, A2, x4, T, n1: int, n2: int, M: int, interpret) -> jnp.ndarray:
+    """One four-step level in nc slices of the leaf-output axis k2, so the
+    full raw-column tensor never exists.  When the Bailey table is factored
+    seeds (a dict — levels whose table itself would be GBs), each chunk's
+    (L, c, n1) twiddle block is synthesized in-trace as mont(base, row_a)
+    with base = rows 0..c-1 (2^288-scaled) and row_a = w^(a*j1)
+    (R0-Montgomery; extra cost ~1 Montgomery mul per element); when the
+    table is materialized it is simply sliced."""
     spec = dom.spec
     L = spec.n_limbs
-    pows = seeds["cur_pows"]  # pows[t][:, j1] = w^(2^t j1), R0-form
-    nc = seeds["nc"]
+    nc = min(_CHUNK_COUNT, n2)
     c = n2 // nc
     logc = max(0, c.bit_length() - 1)
-    # base rows 0..c-1 by doubling (2^288-scaled)
-    base = seeds["c_row"][:, None, :]  # (L, 1, n1)
-    r = 1
-    while r < c:
-        t = r.bit_length() - 1
-        flat = base.reshape(L, r * n1)
-        mult = jnp.broadcast_to(pows[t][:, None, :], (L, r, n1)).reshape(L, r * n1)
-        grown = _mont_planes(spec, flat, mult, interpret).reshape(L, r, n1)
-        base = jnp.concatenate([base, grown], axis=1)
-        r *= 2
-    base_flat = base.reshape(L, c * n1)
+    factored = isinstance(T, dict)
+    if factored:
+        pows = T["cur_pows"]  # pows[t][:, j1] = w^(2^t j1), R0-form
+        # base rows 0..c-1 by doubling (2^288-scaled)
+        base = T["c_row"][:, None, :]  # (L, 1, n1)
+        r = 1
+        while r < c:
+            t = r.bit_length() - 1
+            flat = base.reshape(L, r * n1)
+            mult = jnp.broadcast_to(pows[t][:, None, :], (L, r, n1)).reshape(L, r * n1)
+            grown = _mont_planes(spec, flat, mult, interpret).reshape(L, r, n1)
+            base = jnp.concatenate([base, grown], axis=1)
+            r *= 2
+        base_flat = base.reshape(L, c * n1)
     parts = []
     for ci in range(nc):
         a = ci * c
@@ -707,16 +753,19 @@ def _chunked_level(dom, A2, x4, seeds, n1: int, n2: int, M: int, interpret) -> j
             A2[:, a : a + c], x4, (((2, 3), (1, 0)), ((), ())),
             preferred_element_type=I32,
         )  # (d_out, c, n1*M)
-        row = seeds["one_row"]
-        t = logc
-        aa = a >> logc
-        while aa:
-            if aa & 1:
-                row = _mont_planes(spec, row, pows[t], interpret)
-            aa >>= 1
-            t += 1
-        mult = jnp.broadcast_to(row[:, None, :], (L, c, n1)).reshape(L, c * n1)
-        tchunk = _mont_planes(spec, base_flat, mult, interpret)  # 2^288-scaled
+        if factored:
+            row = T["one_row"]
+            t = logc
+            aa = a >> logc
+            while aa:
+                if aa & 1:
+                    row = _mont_planes(spec, row, pows[t], interpret)
+                aa >>= 1
+                t += 1
+            mult = jnp.broadcast_to(row[:, None, :], (L, c, n1)).reshape(L, c * n1)
+            tchunk = _mont_planes(spec, base_flat, mult, interpret)  # 2^288-scaled
+        else:
+            tchunk = T[:, a : a + c, :].reshape(L, c * n1)
         tfull = jnp.broadcast_to(
             tchunk.reshape(L, c, n1, 1), (L, c, n1, M)
         ).reshape(L, c * n1 * M)
@@ -754,12 +803,15 @@ def digit_ntt_planes(
     if consts is None:
         consts = digit_consts(dom)
     dig = split_digits_rows(xp, dom.d_in)[:, :, None]  # (d_in, n, 1)
-    out = _rec(dom, dig, log_n, consts, interpret)  # (d_out, n, 1) i32 cols
-    cfull = jnp.broadcast_to(
-        jnp.asarray(dom.final_c.astype(np.uint32))[:, None], (L16, n)
-    )
+    # i32 raw columns, or i8 digits when the chunked tail already ran its
+    # value-preserving carry pass — the final kernel consumes either
+    out = _rec(dom, dig, log_n, consts, interpret)
     y16 = inter_twiddle(
-        spec, out.reshape(out.shape[0], n), cfull, canonical=True,
+        spec,
+        out.reshape(out.shape[0], n),
+        jnp.asarray(dom.final_c.astype(np.uint32)),
+        canonical=True,
+        const_t=True,
         interpret=interpret,
     )  # (L16, n), < p
     return y16
