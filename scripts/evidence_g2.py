@@ -58,7 +58,9 @@ def main(log_n: int):
     scalars = ops.scalars_to_limbs(ks)
     kern = MultiexpKernel(spec)
     backend = jax.default_backend()
-    method = "scan" if backend == "cpu" else "sorted"
+    # scan everywhere: generic over Fp2 and compile-light on BOTH backends
+    # (the sorted engine costs ~an hour of tunnel compile at this size)
+    method = "scan"
 
     t0 = time.time()
     out = jax.block_until_ready(

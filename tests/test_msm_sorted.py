@@ -98,6 +98,7 @@ def test_chunked_driver():
     run_case(spec, pts, ks, kern=kern, window_size=4)
 
 
+@pytest.mark.slow  # sorted-engine G2 compile ~8 min on XLA-CPU
 def test_bls12_381_g1_and_g2():
     for spec, n in ((BLS12_381_G1, 33), (BLS12_381_G2, 9)):
         pts = oracle.random_points(spec, n, seed=10)

@@ -22,6 +22,7 @@ def test_pallas_ntt_vs_oracle(spec, log_n):
     assert got == ntt_ref(spec, vals)
 
 
+@pytest.mark.slow  # interpret-mode lowering, minutes cold
 def test_pallas_ntt_matches_jnp():
     spec = BLS12_381_FR
     f = field_ops(spec)
@@ -44,6 +45,7 @@ def test_pallas_intt_roundtrip():
     assert f.to_ints(back) == vals
 
 
+@pytest.mark.slow  # interpret-mode lowering, minutes cold
 def test_fused_ntt_roundtrip_2_10():
     """Fused multi-stage path (log_n > 9 routes through ntt_fused):
     forward + inverse bit-exact at 2^10 (two recursion levels)."""

@@ -14,6 +14,9 @@ from tpu_ec.curves.params import BLS12_381_G1, BN254_G1
 from tpu_ec.curves.point import point_ops
 from tpu_ec.ops.pallas.point import jac_add, jac_add_mixed, jac_double
 
+# interpret-mode Pallas point kernels: minutes of lowering (pytest.ini)
+pytestmark = pytest.mark.slow
+
 
 def eq_tree(a, b):
     return all(
