@@ -88,7 +88,7 @@ def test_dist_ntt_dryrun_shape(mesh):
     y = jax.block_until_ready(DistFftKernel(spec, mesh).radix_fft(x))
     wall = time.time() - t0
     assert f.to_ints(y[:4]) == ntt_ref(spec, vals)[:4]
-    assert wall < 120, f"dist NTT 2^14 took {wall:.0f}s (budget 120s)"
+    assert wall < 300, f"dist NTT 2^14 took {wall:.0f}s (budget 300s)"
 
 
 def test_dist_msm_dryrun_shape(mesh):
@@ -109,7 +109,9 @@ def test_dist_msm_dryrun_shape(mesh):
     wall = time.time() - t0
     got = ops.to_affine_ints(ops.to_affine(out))[0]
     assert got == oracle.msm(spec, pts, ks)
-    assert wall < 120, f"dist MSM 2^10 took {wall:.0f}s (budget 120s)"
+    # guards the r3 never-finishes regression class; generous because the
+    # CPU suite often shares the host with other compile-heavy jobs
+    assert wall < 300, f"dist MSM 2^10 took {wall:.0f}s (budget 300s)"
 
 
 def test_dist_ec_fft_many(mesh):
