@@ -133,6 +133,33 @@ def test_chunked_level_matches_oracle(monkeypatch):
         nd.get_digit_domain.cache_clear()
 
 
+def test_carry7_vectorized_vs_sequential():
+    """The fold+Kogge-Stone carry (carry7_rows) and the kernel's sequential
+    _carry_norm7 are independent implementations of the same base-2^7
+    normalization — cross-check them on adversarial columns (max values,
+    long 127-ripples)."""
+    import numpy as np
+
+    from tpu_ec.ops.ntt_digit import _carry_norm7, carry7_rows
+
+    rng = np.random.default_rng(31)
+    cols = rng.integers(0, 1 << 27, (37, 64), dtype=np.int64).astype(np.int32)
+    cols[:, 0] = (1 << 27) - 1  # max columns: worst-case ripple
+    cols[:10, 1] = 127  # long propagate run
+    a = np.asarray(carry7_rows(jnp.asarray(cols), 42))
+    b = np.stack(
+        [np.asarray(x) for x in _carry_norm7([jnp.asarray(c) for c in cols], 42)]
+    ).astype(np.int8)
+    assert (a == b).all()
+    # both must equal the integer value's true digits
+    vals = [
+        sum(int(cols[e, j]) << (7 * e) for e in range(37)) for j in range(64)
+    ]
+    for j in (0, 1, 5):
+        got = sum(int(a[e, j]) << (7 * e) for e in range(42))
+        assert got == vals[j]
+
+
 def test_digit_domain_bounds():
     dom = get_digit_domain(BLS12_381_FR, 20, False, 7)
     assert dom.plan == [7, 7, 6]
