@@ -7,7 +7,9 @@ the same chunked batch runs as ONE XLA dispatch (`multiple_multiexp`, a
 lax.map over the shared pair-engine body), each chunk bit-exact vs the
 native C++ Pippenger.
 
-Usage: python scripts/bench_amt_tpu.py [log_chunk log_nchunks]  (default 10 10)
+Usage: python scripts/bench_amt_tpu.py [log_chunk log_nchunks [method]]
+       (default 10 10 pair; method=scan is the compile-light engine —
+       ~2 min tunnel compile vs ~25 min for pair at this shape)
 """
 
 import json
@@ -21,6 +23,7 @@ import time
 import jax
 import numpy as np
 
+from tpu_ec.config import get_config
 from tpu_ec.curves.params import BLS12_381_G1
 from tpu_ec.ops.msm import MultiexpKernel
 from tpu_ec.utils.cache import enable_compilation_cache
@@ -30,7 +33,7 @@ SPEC = BLS12_381_G1
 OUT = _os.path.join(_os.path.dirname(__file__), "..", "BENCH_AMT_r04.json")
 
 
-def main(log_chunk: int, log_nchunks: int):
+def main(log_chunk: int, log_nchunks: int, method: str = "pair"):
     from bench_msm_tpu import gen_inputs
 
     enable_compilation_cache()
@@ -43,37 +46,50 @@ def main(log_chunk: int, log_nchunks: int):
 
     t0 = time.time()
     out = jax.block_until_ready(
-        kern.multiple_multiexp(bases, scalars, nchunks, method="pair")
+        kern.multiple_multiexp(bases, scalars, nchunks, method=method)
     )
     compile_s = time.time() - t0
+    print(f"compile+first batch: {compile_s:.1f}s", flush=True)
 
-    # correctness: every chunk vs the native C++ Pippenger
+    # correctness: every chunk vs the native C++ Pippenger (nc.msm is the
+    # u64-array-typed entry; msm_points expects oracle int tuples and would
+    # silently read only the first limb of each coordinate here).  The
+    # Jacobian batch is read straight back (nchunks x 3L u32) and
+    # normalized on the HOST via the native layer: the eager device
+    # to_affine chain is ~300 separate tunnel dispatches right after a
+    # long batch program — the spot where both r4 "readback faults" fired.
     from tpu_ec.native import available, native_curve
 
     assert available(), "native oracle required for the in-run gate"
     nc = native_curve(SPEC)
-    got = ops.to_affine_ints(ops.to_affine(out))
+    jac_hl = [np.asarray(jax.device_get(l)) for l in jax.tree_util.tree_leaves(out)]
+    jac_u64 = np.concatenate([nc.fq.from_halflimbs(l) for l in jac_hl], axis=1)
+    got = nc.affine_to_points(nc.to_affine(jac_u64))
     for c in range(nchunks):
         sl = slice(c * chunk, (c + 1) * chunk)
-        want = nc.msm_points(pts_np[sl], ks_np[sl])
+        want_jac = nc.msm(pts_np[sl], ks_np[sl])
+        want = nc.affine_to_points(nc.to_affine(want_jac[None, :]))[0]
         assert got[c] == want, f"chunk {c} mismatch"
 
+    iters = 3 if nchunks <= 64 else 1  # the full shape is minutes of device time
     dt = timeit(
-        lambda: kern.multiple_multiexp(bases, scalars, nchunks, method="pair"),
-        iters=3,
+        lambda: kern.multiple_multiexp(bases, scalars, nchunks, method=method),
+        iters=iters,
         warmup=0,
     )
     artifact = {
         "metric": "bls12_381_g1_batch_msm (AMT shape)",
         "unit": "points/s (total across chunks)",
-        "shape": f"2^{log_chunk} points x 2^{log_nchunks} chunks = 2^{log_chunk+log_nchunks} total, ONE dispatch",
+        "shape": f"2^{log_chunk} points x 2^{log_nchunks} chunks = 2^{log_chunk+log_nchunks} total, one compiled program",
         "reference_shape": "ag-cuda-ec/benches/multiexp.rs:19-61 (2^10 x 2^12, window 8)",
         "hardware": "TPU v5e single chip (axon tunnel)",
+        "engine": method,
         "correctness": "every chunk bit-exact vs native C++ Pippenger, asserted in-run",
         "points_per_s": round(n / dt, 1),
         "ms_per_batch": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
-        "timing": "3-iteration mean, forced-readback sync; compile excluded",
+        "timing": f"{iters}-iteration mean, forced-readback sync; compile excluded",
+        "dispatches": -(-nchunks // (get_config().batch_msm_slab or nchunks)),
     }
     with open(_os.path.abspath(OUT), "w") as fh:
         json.dump(artifact, fh, indent=1)
@@ -82,5 +98,7 @@ def main(log_chunk: int, log_nchunks: int):
 
 if __name__ == "__main__":
     _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-    args = [int(a) for a in _sys.argv[1:]] or [10, 10]
-    main(*args)
+    argv = _sys.argv[1:]
+    method = argv.pop() if argv and not argv[-1].isdigit() else "pair"
+    args = [int(a) for a in argv] or [10, 10]
+    main(*args, method=method)

@@ -108,3 +108,83 @@ def test_auto_selects_scan_on_cpu():
     )
     assert ("scan", N, W) in kern._jitted
     assert ops.to_affine_ints(ops.to_affine(out))[0] == oracle.msm(spec, pts, ks)
+
+
+def test_scan_batch_one_dispatch():
+    """multiple_multiexp(method='scan') runs the whole batch as ONE XLA
+    program (lax.map over chunks sharing the scan body) — the batch-kernel
+    parity of `ag-build/cl/multiexp.cl:217-263` on the compile-light
+    engine; G2 goes through the same generic path."""
+    from tpu_ec.curves.params import BLS12_381_G2
+
+    for spec, seed in ((BN254_G1, 220), (BLS12_381_G2, 222)):
+        ops = point_ops(spec)
+        kern = MultiexpKernel(spec)
+        n, chunks = N, 4
+        pts = oracle.random_points(spec, n, seed=seed)
+        ks = oracle.random_scalars(spec, n, seed=seed + 1)
+        out = kern.multiple_multiexp(
+            ops.from_affine_ints(pts),
+            ops.scalars_to_limbs(ks),
+            chunks,
+            window_size=W,
+            method="scan",
+        )
+        assert ("scan_batch", chunks, n // chunks, W) in kern._jitted
+        got = ops.to_affine_ints(ops.to_affine(out))
+        c = n // chunks
+        for i in range(chunks):
+            assert got[i] == oracle.msm(spec, pts[i * c : (i + 1) * c], ks[i * c : (i + 1) * c])
+
+
+def test_scan_batch_slabbed(monkeypatch):
+    """batch_msm_slab bounds per-dispatch device runtime: the batch reuses
+    ONE compiled slab program over num_chunks/slab dispatches and must be
+    bit-identical to the unslabbed result."""
+    from tpu_ec.config import get_config
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    kern = MultiexpKernel(spec)
+    n, chunks = N, 4
+    pts = oracle.random_points(spec, n, seed=230)
+    ks = oracle.random_scalars(spec, n, seed=231)
+    monkeypatch.setattr(get_config(), "batch_msm_slab", 2)
+    out = kern.multiple_multiexp(
+        ops.from_affine_ints(pts),
+        ops.scalars_to_limbs(ks),
+        chunks,
+        window_size=W,
+        method="scan",
+    )
+    assert ("scan_batch", 2, n // chunks, W) in kern._jitted
+    assert ("scan_batch", chunks, n // chunks, W) not in kern._jitted
+    got = ops.to_affine_ints(ops.to_affine(out))
+    c = n // chunks
+    for i in range(chunks):
+        assert got[i] == oracle.msm(spec, pts[i * c : (i + 1) * c], ks[i * c : (i + 1) * c])
+
+
+def test_tuned_window_engine_keyed(tmp_path, monkeypatch):
+    """The measured table is keyed per (curve, engine): a window tuned for
+    one engine must never leak into another's plan (their cost shapes
+    differ — scan pays ~log2(n) adds/point/window, pair ~1)."""
+    import json
+
+    from tpu_ec.ops import autotune
+
+    tab = {"bls12_381_g1": {"scan": {"14": 7}, "pair": {"14": 11}}}
+    p = tmp_path / "tuned_windows.json"
+    p.write_text(json.dumps(tab))
+    monkeypatch.setattr(autotune, "_TABLE_PATH", str(p))
+    autotune._table.cache_clear()
+    try:
+        assert autotune.tuned_window("bls12_381_g1", "scan", 1 << 14) == 7
+        assert autotune.tuned_window("bls12_381_g1", "pair", 1 << 14) == 11
+        # nearest-size lookup stays bounded to +/-2 octaves
+        assert autotune.tuned_window("bls12_381_g1", "scan", 1 << 16) == 7
+        assert autotune.tuned_window("bls12_381_g1", "scan", 1 << 20) is None
+        assert autotune.tuned_window("bls12_381_g1", "sorted", 1 << 14) is None
+        assert autotune.tuned_window("bn254_g1", "scan", 1 << 14) is None
+    finally:
+        autotune._table.cache_clear()

@@ -99,6 +99,13 @@ class Config:
     # segmented scan, ~10 point-op instances — what the virtual-mesh dryrun
     # and CI need) or "pair" (compute-optimal pair-halving, heavy compile)
     dist_msm_accum: str = "scan"
+    # batch-MSM (multiple_multiexp) chunks per device dispatch: the whole
+    # batch shares ONE compiled program, issued over ceil(num_chunks/slab)
+    # dispatches.  Bounds single-program device runtime — a program that
+    # executes for many minutes dies with UNAVAILABLE at readback through
+    # the axon tunnel (both r4 AMT "readback faults", 2^10-chunk batches).
+    # 0 = the whole batch in one dispatch.
+    batch_msm_slab: int = 64
 
     @classmethod
     def from_env(cls) -> "Config":
@@ -122,6 +129,8 @@ class Config:
             mont_impl=os.environ.get("TPU_EC_MONT_IMPL", "pad"),
             ec_impl=os.environ.get("TPU_EC_EC_IMPL", "list"),
             dist_msm_accum=os.environ.get("TPU_EC_DIST_MSM_ACCUM", "scan"),
+            # NOTE: no `or default` — an explicit 0 means "one dispatch"
+            batch_msm_slab=_env_int("TPU_EC_BATCH_MSM_SLAB", 64),
         )
 
 

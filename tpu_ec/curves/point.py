@@ -186,7 +186,24 @@ class PointOps:
         The reference never needs this on device (results return to host in
         Jacobian and arkworks normalizes); here it is the device-side
         equivalent of that host step, using Montgomery batch inversion so a
-        whole result batch costs ONE Fermat inversion."""
+        whole result batch costs ONE Fermat inversion.
+
+        Eager calls on an accelerator backend run as ONE jitted program:
+        the Fermat-inversion chain is ~300 ops, and dispatching them one by
+        one through the axon tunnel measured 338 s for a 1024-point batch
+        (and that post-program dispatch storm is where the r4 batch-MSM
+        "readback faults" fired).  Traced calls inline as before."""
+        if jax.default_backend() != "cpu" and not any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree_util.tree_leaves(P)
+        ):
+            return self._to_affine_jit(P)
+        return self._to_affine_impl(P)
+
+    @functools.cached_property
+    def _to_affine_jit(self):
+        return jax.jit(self._to_affine_impl)
+
+    def _to_affine_impl(self, P):
         F = self.F
         leading = jax.tree_util.tree_leaves(P[2])[0].shape[:-1]
         flat = jax.tree_util.tree_map(lambda c: c.reshape((-1, c.shape[-1])), P[2])

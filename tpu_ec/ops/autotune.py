@@ -26,9 +26,14 @@ def _table() -> dict:
         return json.load(fh)
 
 
-def tuned_window(curve_name: str, n: int) -> int | None:
-    """Measured best window for ~n points on this curve, or None."""
-    by_log = _table().get(curve_name)
+def tuned_window(curve_name: str, engine: str, n: int) -> int | None:
+    """Measured best window for ~n points on this curve AND engine, or None.
+
+    Keyed per engine because the engines' cost shapes differ (the scan
+    engine pays ~log2(n) adds/point/window, the pair engine ~1), so a
+    window measured for one would mis-tune another.
+    """
+    by_log = (_table().get(curve_name) or {}).get(engine)
     if not by_log:
         return None
     log_n = max(1, n.bit_length() - 1)

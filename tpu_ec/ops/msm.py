@@ -418,7 +418,7 @@ class MultiexpKernel:
             w = (
                 window_size
                 or get_config().msm_window
-                or tuned_window(self.spec.name, n)
+                or tuned_window(self.spec.name, method, n)
                 or default_w(n)
             )
             get_logger("tpu_ec.msm").info(
@@ -494,14 +494,40 @@ class MultiexpKernel:
         n = jax.tree_util.tree_leaves(bases)[0].shape[0]
         chunk = n // num_chunks
         assert chunk * num_chunks == n, "bases must split evenly into chunks"
-        if method == "auto" and signed and self.spec.ext == 1:
-            method = "pair"
-        if method == "pair":
+        if method == "auto" and signed:
+            # pair = fewest adds/chunk; scan = compile-light (G2 and the
+            # CPU backend, same policy as multiexp)
+            method = (
+                "scan"
+                if (self.spec.ext != 1 or jax.default_backend() == "cpu")
+                else "pair"
+            )
+        if method in ("pair", "scan"):
+            from .autotune import tuned_window
             from .msm_pair import default_window_size_pair, msm_pair
+            from .msm_scan import default_window_size_scan, msm_scan
 
             self._check_abort()
-            w = window_size or default_window_size_pair(chunk)
-            key = ("pair_batch", num_chunks, chunk, w)
+            w = (
+                window_size
+                or tuned_window(self.spec.name, method, chunk)
+                or {"pair": default_window_size_pair, "scan": default_window_size_scan}[
+                    method
+                ](chunk)
+            )
+            body_fn = {"pair": msm_pair, "scan": msm_scan}[method]
+            # slab the batch: ONE compiled program reused over
+            # ceil(num_chunks/slab) dispatches.  A whole 2^10-chunk batch
+            # as a single program executes for minutes on-device, which the
+            # axon tunnel kills with UNAVAILABLE at readback (config note).
+            from ..config import get_config
+            from ..utils.log import get_logger
+
+            slab = get_config().batch_msm_slab or num_chunks
+            import math
+
+            slab = math.gcd(min(slab, num_chunks), num_chunks)
+            key = (f"{method}_batch", slab, chunk, w)
             if key not in self._jitted:
                 ops = self.ops
 
@@ -509,7 +535,7 @@ class MultiexpKernel:
                 def run(points, scalars_):
                     def body(args):
                         b, s = args
-                        return msm_pair(ops, b, s, window_size=w)
+                        return body_fn(ops, b, s, window_size=w)
 
                     return jax.lax.map(body, (points, scalars_))
 
@@ -521,7 +547,19 @@ class MultiexpKernel:
                 [scalars, jnp.zeros(scalars.shape[:-1] + (1,), scalars.dtype)],
                 axis=-1,
             ).reshape(num_chunks, chunk, -1)
-            out = self._jitted[key](pts, s)  # leaves (num_chunks, 1, L)
+            if slab < num_chunks:
+                get_logger("tpu_ec.msm").info(
+                    "batch MSM %d chunks as %d dispatches of %d",
+                    num_chunks, num_chunks // slab, slab,
+                )
+            parts = []
+            for lo in range(0, num_chunks, slab):
+                self._check_abort()
+                p = jax.tree_util.tree_map(lambda l: l[lo : lo + slab], pts)
+                parts.append(self._jitted[key](p, s[lo : lo + slab]))
+            out = jax.tree_util.tree_map(
+                lambda *ls: jnp.concatenate(ls, axis=0), *parts
+            )  # leaves (num_chunks, 1, L)
             return jax.tree_util.tree_map(lambda l: l[:, 0], out)
         outs = []
         for c in range(num_chunks):
