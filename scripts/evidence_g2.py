@@ -81,7 +81,11 @@ def main(log_n: int):
         want = oracle.msm(spec, pts, ks)
         oracle_name = "python bigint"
     assert got == want, "G2 MSM mismatch vs oracle"
-    dt = timeit(kern.multiexp, bases, scalars, iters=3, warmup=0)
+    # keep the timed engine = the verified engine (method="auto" would
+    # re-plan: on TPU ext=2 routes to the heavy-compile sorted engine)
+    dt = timeit(
+        lambda: kern.multiexp(bases, scalars, method=method), iters=3, warmup=0
+    )
 
     entry = {
         "backend": backend,

@@ -396,7 +396,10 @@ class MultiexpKernel:
             elif self.spec.ext == 1:
                 method = "pair"  # movement-minimal halving engine
             else:
-                method = "sorted"
+                # G2: the scan engine is generic over Fp2 and compile-light
+                # (~2 min through the tunnel vs ~an hour for the
+                # movement-minimal engines' unrolled Fp2 point ops)
+                method = "scan"
         if method in ("sorted", "coz", "pair", "scan"):
             assert signed, f"{method} engine implements signed digits only"
             if n > self.chunk_size:
