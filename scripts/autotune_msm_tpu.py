@@ -53,6 +53,11 @@ def main(method: str, log_ns):
     table = {}
     if os.path.exists(OUT):
         table = json.load(open(OUT))
+    # migrate/drop old flat-schema entries (numeric keys directly under the
+    # curve, from the pre-engine-keyed format) so the file stays uniform
+    for curve, tab in table.items():
+        for k in [k for k in tab if k.isdigit()]:
+            del tab[k]
     curve_tab = table.setdefault(SPEC.name, {}).setdefault(method, {})
     span = int(os.environ.get("TPU_EC_AUTOTUNE_SPAN", "1"))
     for log_n in log_ns:

@@ -3,9 +3,10 @@
 Reference shape: `ag-cuda-ec/benches/multiexp.rs:19-61` runs 2^22 points as
 2^10-point chunks x 2^12 chunks (window 8) in one launch and prints speedup
 vs the arkworks CPU MSM; `amt.rs:17-23` is the production workload.  Here
-the same chunked batch runs as ONE XLA dispatch (`multiple_multiexp`, a
-lax.map over the shared pair-engine body), each chunk bit-exact vs the
-native C++ Pippenger.
+the same chunked batch runs as ONE compiled program over
+ceil(nchunks/batch_msm_slab) dispatches (`multiple_multiexp`, a lax.map
+over the shared engine body; the slab bounds single-dispatch device time),
+each chunk bit-exact vs the native C++ Pippenger.
 
 Usage: python scripts/bench_amt_tpu.py [log_chunk log_nchunks [method]]
        (default 10 10 pair; method=scan is the compile-light engine —
@@ -30,7 +31,7 @@ from tpu_ec.utils.cache import enable_compilation_cache
 from tpu_ec.utils.measure import timeit
 
 SPEC = BLS12_381_G1
-OUT = _os.path.join(_os.path.dirname(__file__), "..", "BENCH_AMT_r04.json")
+OUT = _os.path.join(_os.path.dirname(__file__), "..", "BENCH_AMT_r05.json")
 
 
 def main(log_chunk: int, log_nchunks: int, method: str = "pair"):
@@ -89,7 +90,9 @@ def main(log_chunk: int, log_nchunks: int, method: str = "pair"):
         "ms_per_batch": round(dt * 1e3, 1),
         "compile_s": round(compile_s, 1),
         "timing": f"{iters}-iteration mean, forced-readback sync; compile excluded",
-        "dispatches": -(-nchunks // (get_config().batch_msm_slab or nchunks)),
+        # matches multiple_multiexp's slabbing exactly: slab = min(cfg, n),
+        # tail padded to a full slab -> ceil(nchunks/slab) dispatches
+        "dispatches": -(-nchunks // min(get_config().batch_msm_slab or nchunks, nchunks)),
     }
     with open(_os.path.abspath(OUT), "w") as fh:
         json.dump(artifact, fh, indent=1)

@@ -32,7 +32,7 @@ from tpu_ec.ops.msm import MultiexpKernel
 from tpu_ec.utils.cache import enable_compilation_cache
 from tpu_ec.utils.measure import timeit
 
-OUT = _os.path.join(_os.path.dirname(__file__), "..", "EVIDENCE_G2_r04.json")
+OUT = _os.path.join(_os.path.dirname(__file__), "..", "EVIDENCE_G2_r05.json")
 
 
 def main(log_n: int):
@@ -81,8 +81,8 @@ def main(log_n: int):
         want = oracle.msm(spec, pts, ks)
         oracle_name = "python bigint"
     assert got == want, "G2 MSM mismatch vs oracle"
-    # keep the timed engine = the verified engine (method="auto" would
-    # re-plan: on TPU ext=2 routes to the heavy-compile sorted engine)
+    # keep the timed engine = the verified engine (auto already selects
+    # scan for G2 on every backend; pinning guards against policy drift)
     dt = timeit(
         lambda: kern.multiexp(bases, scalars, method=method), iters=3, warmup=0
     )

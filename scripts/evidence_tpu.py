@@ -93,12 +93,51 @@ def pipeline(log_n=16):
     evals, commit = pipe.commit(coeffs, basis)
     hard_sync(commit)
     t_first = time.time() - t0
+
+    # in-run correctness gate: the whole pipeline (NTT -> from_mont -> MSM)
+    # vs the native C++ stack (ntt + from_mont + Pippenger), structurally
+    # independent of the device path
+    t0 = time.time()
+    ev_nat = nc.fr.ntt(nc.fr.from_ints(coeff_ints))
+    s_nat = nc.fr.from_mont(ev_nat)
+    want_j = nc.msm(aff, s_nat)
+    t_cpu = time.time() - t0
+    want = nc.affine_to_points(nc.to_affine(want_j[None, :]))[0]
+    got = pipe.ops.to_affine_ints(pipe.ops.to_affine(commit))[0]
+    assert got == want, "pipeline commit != native oracle"
+    ev_got = pipe.fr.to_ints(evals)
+    assert ev_got == nc.fr.to_ints(ev_nat), "pipeline evals != native NTT"
+
     dt = timeit(lambda: hard_sync(pipe.commit(coeffs, basis)[1]), iters=3, warmup=0)
     print(
         f"commit pipeline 2^{log_n}: {dt*1e3:.0f} ms/commit "
-        f"({n/dt/1e6:.3f} M coeff/s; first call {t_first:.0f}s)",
+        f"({n/dt/1e6:.3f} M coeff/s; first call {t_first:.0f}s; "
+        f"native CPU {t_cpu*1e3:.0f} ms)  bit-exact ok",
         flush=True,
     )
+    import json
+
+    from tpu_ec.config import get_config
+
+    art = {
+        "metric": "bls12_381_g1_commit_pipeline (NTT -> from_mont -> MSM)",
+        "unit": "coefficients/s",
+        "log_n": log_n,
+        "hardware": "TPU v5e single chip (axon tunnel)",
+        "ntt_impl": get_config().ntt_impl,
+        "coeffs_per_s": round(n / dt, 1),
+        "ms_per_commit": round(dt * 1e3, 1),
+        "compile_s": round(t_first, 1),
+        "native_cpu_ms": round(t_cpu * 1e3, 1),
+        "speedup_vs_native_cpu": round(t_cpu / dt, 2),
+        "correctness": "commitment AND evals bit-exact vs native C++ "
+        "(ntt + from_mont + Pippenger), asserted in-run",
+        "reference_shape": "ag-cuda-ec/benches/amt.rs:17-23 (the AMT workload)",
+    }
+    out = _os.path.join(_os.path.dirname(__file__), "..", "BENCH_PIPELINE_r05.json")
+    with open(_os.path.abspath(out), "w") as fh:
+        json.dump(art, fh, indent=1)
+    print("wrote", _os.path.abspath(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -168,7 +168,25 @@ def validate_virtual_mesh() -> list:
         ok_ntt = f.to_ints(y[:8]) == want_head
         out = DistMultiexpKernel(spec, mesh).multiexp(b_dev, s_dev)
         ok_msm = ops.to_affine_ints(ops.to_affine(out))[0] == want_msm
-        results.append({"devices": d, "ntt_2^10_ok": ok_ntt, "msm_128_ok": ok_msm})
+        row = {"devices": d, "ntt_2^10_ok": ok_ntt, "msm_128_ok": ok_msm}
+        if d == 2:
+            # the at-scale accumulation (est_efficiency 0.987 at d=16 vs
+            # 0.053 for the scan fallback): compile-check + bit-exact on
+            # the virtual mesh (also tests/test_parallel.py pair_accum)
+            from tpu_ec.config import configure, get_config
+
+            old = get_config().dist_msm_accum
+            configure(dist_msm_accum="pair")
+            try:
+                kp = DistMultiexpKernel(spec, mesh)
+                outp = kp.multiexp(b_dev, s_dev)
+                row["msm_128_pair_accum_ok"] = (
+                    ops.to_affine_ints(ops.to_affine(outp))[0] == want_msm
+                )
+            finally:
+                configure(dist_msm_accum=old)
+            assert row["msm_128_pair_accum_ok"]
+        results.append(row)
         assert ok_ntt and ok_msm, f"virtual-mesh validation failed at d={d}"
     return results
 

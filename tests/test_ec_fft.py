@@ -62,3 +62,25 @@ def test_ec_fft_many():
         a = ops.to_affine_ints(ops.to_affine(out))
         b = ops.to_affine_ints(ops.to_affine(single))
         assert a == b
+
+
+@pytest.mark.slow
+def test_ec_fft_vs_native_at_scale():
+    """2^8 EC-FFT vs the native C++ EC-FFT (C30 at-scale gap: the ref
+    sweeps 2^1-2^20 on hardware, ec-gpu-proxy/tests/fft.rs:87-176; the
+    chip-scale sweep lives in scripts/bench_ec_fft_tpu.py)."""
+    from tpu_ec.native import available, native_curve
+
+    if not available():
+        pytest.skip("native oracle unavailable")
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n = 1 << 8
+    pts = oracle.random_points(spec, n, seed=36)
+    P = ops.to_jacobian(ops.from_affine_ints(pts))
+    out = EcFftKernel(spec).radix_ec_fft(P)
+    got = ops.to_affine_ints(ops.to_affine(out))
+    nat = native_curve(spec)
+    jac = nat.from_affine(nat.affine_from_points(pts))
+    want = nat.affine_to_points(nat.to_affine(nat.ec_fft(jac)))
+    assert got == want

@@ -110,31 +110,42 @@ def test_auto_selects_scan_on_cpu():
     assert ops.to_affine_ints(ops.to_affine(out))[0] == oracle.msm(spec, pts, ks)
 
 
+def _check_scan_batch(spec, seed):
+    ops = point_ops(spec)
+    kern = MultiexpKernel(spec)
+    n, chunks = N, 4
+    pts = oracle.random_points(spec, n, seed=seed)
+    ks = oracle.random_scalars(spec, n, seed=seed + 1)
+    out = kern.multiple_multiexp(
+        ops.from_affine_ints(pts),
+        ops.scalars_to_limbs(ks),
+        chunks,
+        window_size=W,
+        method="scan",
+    )
+    assert ("scan_batch", "vmap", chunks, n // chunks, W) in kern._jitted
+    got = ops.to_affine_ints(ops.to_affine(out))
+    c = n // chunks
+    for i in range(chunks):
+        assert got[i] == oracle.msm(spec, pts[i * c : (i + 1) * c], ks[i * c : (i + 1) * c])
+
+
 def test_scan_batch_one_dispatch():
     """multiple_multiexp(method='scan') runs the whole batch as ONE XLA
     program (lax.map over chunks sharing the scan body) — the batch-kernel
     parity of `ag-build/cl/multiexp.cl:217-263` on the compile-light
-    engine; G2 goes through the same generic path."""
+    engine."""
+    _check_scan_batch(BN254_G1, 220)
+
+
+@pytest.mark.slow
+def test_scan_batch_one_dispatch_g2():
+    """G2 goes through the same generic batch path (slow: the Fp2 scan
+    program dominates the file's XLA-CPU compile budget — nightly job,
+    same gating as the other G2 scan cases in this file)."""
     from tpu_ec.curves.params import BLS12_381_G2
 
-    for spec, seed in ((BN254_G1, 220), (BLS12_381_G2, 222)):
-        ops = point_ops(spec)
-        kern = MultiexpKernel(spec)
-        n, chunks = N, 4
-        pts = oracle.random_points(spec, n, seed=seed)
-        ks = oracle.random_scalars(spec, n, seed=seed + 1)
-        out = kern.multiple_multiexp(
-            ops.from_affine_ints(pts),
-            ops.scalars_to_limbs(ks),
-            chunks,
-            window_size=W,
-            method="scan",
-        )
-        assert ("scan_batch", chunks, n // chunks, W) in kern._jitted
-        got = ops.to_affine_ints(ops.to_affine(out))
-        c = n // chunks
-        for i in range(chunks):
-            assert got[i] == oracle.msm(spec, pts[i * c : (i + 1) * c], ks[i * c : (i + 1) * c])
+    _check_scan_batch(BLS12_381_G2, 222)
 
 
 def test_scan_batch_slabbed(monkeypatch):
@@ -157,8 +168,8 @@ def test_scan_batch_slabbed(monkeypatch):
         window_size=W,
         method="scan",
     )
-    assert ("scan_batch", 2, n // chunks, W) in kern._jitted
-    assert ("scan_batch", chunks, n // chunks, W) not in kern._jitted
+    assert ("scan_batch", "vmap", 2, n // chunks, W) in kern._jitted
+    assert ("scan_batch", "vmap", chunks, n // chunks, W) not in kern._jitted
     got = ops.to_affine_ints(ops.to_affine(out))
     c = n // chunks
     for i in range(chunks):

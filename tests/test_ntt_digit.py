@@ -166,3 +166,67 @@ def test_digit_domain_bounds():
     assert dom.d_in == 37
     # int32 accumulator headroom for the biggest leaf
     assert (1 << 7) * dom.d_in * 127 * 127 < (1 << 31)
+
+
+def test_digit_ntt_batch_matches_single():
+    """digit_ntt_planes_batch (the distributed NTT's local-stage kernel)
+    column-for-column equals digit_ntt_planes, and roundtrips."""
+    from tpu_ec.ops.ntt_digit import digit_ntt_planes_batch
+
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(21)
+    n, B = 1 << 8, 3
+    cols = [[rng.randrange(spec.modulus) for _ in range(n)] for _ in range(B)]
+    xpb = jnp.stack([_planes(f, c) for c in cols], axis=2)  # (L, n, B)
+    yb = digit_ntt_planes_batch(spec, xpb, leaf=4)
+    for b in range(B):
+        y1 = digit_ntt_planes(spec, xpb[:, :, b], leaf=4)
+        assert (np.asarray(yb[:, :, b]) == np.asarray(y1)).all()
+    back = digit_ntt_planes_batch(spec, yb, inverse=True, leaf=4)
+    assert (np.asarray(back) == np.asarray(xpb)).all()
+
+
+def test_fft_kernel_equals_pallas_digit_2_12():
+    """The library entry point (FftKernel.radix_fft) and the TPU-routed
+    digit path (PallasFftKernel with ntt_impl='digit') are bit-exact equal
+    at 2^12 — the contract behind FftKernel._route_pallas handing large
+    on-chip transforms to the digit kernel (fft.rs:139-247: radix_fft IS
+    the product entry point, backed by the fast device kernel)."""
+    from tpu_ec.config import configure, get_config
+    from tpu_ec.ops.pallas.ntt import PallasFftKernel
+
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(12)
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << 12)]
+    x = f.from_ints(vals)
+    want = np.asarray(FftKernel(spec).radix_fft(x))
+    old = get_config().ntt_impl
+    configure(ntt_impl="digit")
+    try:
+        got = np.asarray(PallasFftKernel(spec, interpret=True).radix_fft(x))
+    finally:
+        configure(ntt_impl=old)
+    assert (got == want).all()
+
+
+def test_fft_kernel_routing_gate(monkeypatch):
+    """FftKernel._route_pallas: routes on accelerator backends for
+    log_n > 9 when a Pallas impl is selected; never on CPU or small n."""
+    from tpu_ec.config import configure, get_config
+
+    kern = FftKernel(BLS12_381_FR)
+    old = get_config().ntt_impl
+    try:
+        configure(ntt_impl="digit")
+        assert not kern._route_pallas(12)  # CPU backend (conftest)
+        monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+        assert kern._route_pallas(12)
+        assert not kern._route_pallas(9)  # too small to amortize
+        configure(ntt_impl="fused")
+        assert kern._route_pallas(12)
+        configure(ntt_impl="pease")
+        assert not kern._route_pallas(12)
+    finally:
+        configure(ntt_impl=old)

@@ -88,7 +88,9 @@ def test_dist_ntt_dryrun_shape(mesh):
     y = jax.block_until_ready(DistFftKernel(spec, mesh).radix_fft(x))
     wall = time.time() - t0
     assert f.to_ints(y[:4]) == ntt_ref(spec, vals)[:4]
-    assert wall < 300, f"dist NTT 2^14 took {wall:.0f}s (budget 300s)"
+    # ~2x the measured cold-compile wall (r4 VERDICT: the whole dryrun =
+    # 197 s; this shape alone ~60-90 s cold) so real regressions can't hide
+    assert wall < 150, f"dist NTT 2^14 took {wall:.0f}s (budget 150s)"
 
 
 def test_dist_msm_dryrun_shape(mesh):
@@ -109,9 +111,8 @@ def test_dist_msm_dryrun_shape(mesh):
     wall = time.time() - t0
     got = ops.to_affine_ints(ops.to_affine(out))[0]
     assert got == oracle.msm(spec, pts, ks)
-    # guards the r3 never-finishes regression class; generous because the
-    # CPU suite often shares the host with other compile-heavy jobs
-    assert wall < 300, f"dist MSM 2^10 took {wall:.0f}s (budget 300s)"
+    # guards the r3 never-finishes regression class; ~2x measured cold wall
+    assert wall < 150, f"dist MSM 2^10 took {wall:.0f}s (budget 150s)"
 
 
 def test_dist_ec_fft_many(mesh):
@@ -136,3 +137,59 @@ def test_dist_ec_fft_many(mesh):
         jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)
     ):
         assert (np.asarray(jax.device_get(g)) == np.asarray(jax.device_get(w_))).all()
+
+
+def test_dist_ntt_digit_local_stages(mesh):
+    """The digit-matmul-routed local DFT stages (TPU library path) are
+    bit-exact with the Pease-loop dist NTT — forward AND inverse (the
+    n^{-1} scale moves into the digit stages' final-cleanup constants).
+    Runs the Pallas kernels in interpret mode via the ntt_digit_on_cpu
+    test hatch at a tiny size; the real-chip path is the same trace."""
+    from tpu_ec.config import configure, get_config
+
+    spec = BLS12_381_FR
+    f = field_ops(spec)
+    rng = random.Random(62)
+    vals = [rng.randrange(spec.modulus) for _ in range(1 << 8)]
+    x = f.from_ints(vals)
+    want = ntt_ref(spec, vals)
+    cfg = get_config()
+    old = (cfg.ntt_impl, cfg.ntt_digit_on_cpu, cfg.ntt_digit_leaf_log)
+    configure(ntt_impl="digit", ntt_digit_on_cpu=True, ntt_digit_leaf_log=4)
+    try:
+        kern = DistFftKernel(spec, mesh)
+        got = f.to_ints(kern.radix_fft(x))
+        assert got == want
+        back = kern.radix_fft(f.from_ints(got), inverse=True)
+        assert f.to_ints(back) == vals
+    finally:
+        configure(
+            ntt_impl=old[0], ntt_digit_on_cpu=old[1], ntt_digit_leaf_log=old[2]
+        )
+
+
+def test_dist_msm_pair_accum():
+    """The compute-optimal at-scale accumulation (`dist_msm_accum="pair"`,
+    SCALING.json est_efficiency 0.987 at d=16 vs 0.053 for the scan
+    fallback) compiles and is bit-exact on a d=2 virtual mesh — the
+    library path a real multi-chip TPU deployment runs
+    (multiexp.rs:324-400 parity at the bucket level)."""
+    from tpu_ec.config import configure, get_config
+    from tpu_ec.parallel.mesh import make_mesh as _mk
+
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n = 1 << 8
+    pts = oracle.random_points(spec, n, seed=90)
+    ks = oracle.random_scalars(spec, n, seed=91)
+    old = get_config().dist_msm_accum
+    configure(dist_msm_accum="pair")
+    try:
+        mesh2 = _mk(jax.devices()[:2])
+        out = DistMultiexpKernel(spec, mesh2).multiexp(
+            ops.from_affine_ints(pts), ops.scalars_to_limbs(ks)
+        )
+        got = ops.to_affine_ints(ops.to_affine(out))[0]
+    finally:
+        configure(dist_msm_accum=old)
+    assert got == oracle.msm(spec, pts, ks)

@@ -73,3 +73,33 @@ def test_commit_sparse_matches_dense():
     )
     got = ops.to_affine_ints(ops.to_affine(commit))[0]
     assert got == oracle.msm(spec, pts, eff)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_commit_vs_oracle_at_scale():
+    """2^10 pipeline (the C30 at-scale integration gap): NTT + from_mont +
+    MSM against the native C++ stack; the default-suite n=32 cases cover
+    the same path compile-light (ref workload: 2^21 exps, amt.rs:17-23 —
+    chip-scale runs live in scripts/evidence_tpu.py pipeline)."""
+    from tpu_ec.native import available, native_curve
+
+    if not available():
+        pytest.skip("native oracle unavailable")
+    spec = BN254_G1
+    ops = point_ops(spec)
+    fr = field_ops(spec.scalar)
+    n = 1 << 10
+    rng = random.Random(46)
+    coeff_ints = [rng.randrange(spec.scalar.modulus) for _ in range(n)]
+    pts = oracle.random_points(spec, n, seed=47)
+    pipe = CommitPipeline(spec)
+    evals, commit = pipe.commit(fr.from_ints(coeff_ints), ops.from_affine_ints(pts))
+    nc = native_curve(spec)
+    ev_nat = nc.fr.ntt(nc.fr.from_ints(coeff_ints))
+    assert fr.to_ints(evals) == nc.fr.to_ints(ev_nat)
+    want_j = nc.msm(nc.affine_from_points(pts), nc.fr.from_mont(ev_nat))
+    want = nc.affine_to_points(nc.to_affine(want_j[None, :]))[0]
+    assert ops.to_affine_ints(ops.to_affine(commit))[0] == want

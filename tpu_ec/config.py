@@ -95,6 +95,10 @@ class Config:
     # formulation for the fused EC point kernels: "list" measured ~20%
     # faster than "pad" for Fq (381-bit) adds at blk=128; bit-identical
     ec_impl: str = "list"
+    # allow the digit-matmul NTT on the CPU backend (Pallas interpret mode
+    # — minutes per compile, test-only escape hatch so the digit-routed
+    # distributed NTT can be differential-tested on the virtual mesh)
+    ntt_digit_on_cpu: bool = False
     # distributed-MSM bucket accumulation: "scan" (compile-light masked
     # segmented scan, ~10 point-op instances — what the virtual-mesh dryrun
     # and CI need) or "pair" (compute-optimal pair-halving, heavy compile)
@@ -126,6 +130,7 @@ class Config:
             mesh_axis=os.environ.get("TPU_EC_MESH_AXIS", "shards"),
             min_devices=_env_int("TPU_EC_MIN_DEVICES", 1) or 1,
             log_level=os.environ.get("TPU_EC_LOG", "WARNING"),
+            ntt_digit_on_cpu=_env_bool("TPU_EC_NTT_DIGIT_ON_CPU", False),
             mont_impl=os.environ.get("TPU_EC_MONT_IMPL", "pad"),
             ec_impl=os.environ.get("TPU_EC_EC_IMPL", "list"),
             dist_msm_accum=os.environ.get("TPU_EC_DIST_MSM_ACCUM", "scan"),

@@ -526,21 +526,33 @@ class MultiexpKernel:
             from ..config import get_config
             from ..utils.log import get_logger
 
-            slab = get_config().batch_msm_slab or num_chunks
-            import math
-
-            slab = math.gcd(min(slab, num_chunks), num_chunks)
-            key = (f"{method}_batch", slab, chunk, w)
+            slab = min(get_config().batch_msm_slab or num_chunks, num_chunks)
+            # pad the batch up to a multiple of slab (dummy chunks reuse the
+            # first chunk's bases with zero scalars; outputs are trimmed) so
+            # every dispatch runs the SAME full-size compiled program — no
+            # gcd-shrunk slabs, no per-chunk dispatch storm on non-divisible
+            # shapes, no second compiled shape for the tail
+            pad_chunks = (-num_chunks) % slab
+            # chunk-vectorized slab: vmap batches every sort/gather/point-add
+            # across the slab's chunks (full VPU lanes — the lax.map form
+            # runs chunks serially at batch-1 point ops, which is why the r4
+            # AMT number was 37x off the single-MSM pace).  lax.map remains
+            # for big chunks where the vmapped intermediates wouldn't fit.
+            use_vmap = slab * chunk <= (1 << 22)
+            key = (f"{method}_batch", "vmap" if use_vmap else "map", slab, chunk, w)
             if key not in self._jitted:
                 ops = self.ops
 
                 @jax.jit
                 def run(points, scalars_):
-                    def body(args):
-                        b, s = args
+                    def body(b, s):
                         return body_fn(ops, b, s, window_size=w)
 
-                    return jax.lax.map(body, (points, scalars_))
+                    if use_vmap:
+                        return jax.vmap(body)(points, scalars_)
+                    return jax.lax.map(
+                        lambda a: body(a[0], a[1]), (points, scalars_)
+                    )
 
                 self._jitted[key] = run
             pts = jax.tree_util.tree_map(
@@ -550,20 +562,31 @@ class MultiexpKernel:
                 [scalars, jnp.zeros(scalars.shape[:-1] + (1,), scalars.dtype)],
                 axis=-1,
             ).reshape(num_chunks, chunk, -1)
-            if slab < num_chunks:
+            if pad_chunks:
+                pts = jax.tree_util.tree_map(
+                    lambda l: jnp.concatenate(
+                        [l, jnp.broadcast_to(l[:1], (pad_chunks,) + l.shape[1:])]
+                    ),
+                    pts,
+                )
+                s = jnp.concatenate(
+                    [s, jnp.zeros((pad_chunks,) + s.shape[1:], s.dtype)]
+                )
+            total = num_chunks + pad_chunks
+            if slab < total:
                 get_logger("tpu_ec.msm").info(
-                    "batch MSM %d chunks as %d dispatches of %d",
-                    num_chunks, num_chunks // slab, slab,
+                    "batch MSM %d chunks as %d dispatches of %d (%d padded)",
+                    num_chunks, total // slab, slab, pad_chunks,
                 )
             parts = []
-            for lo in range(0, num_chunks, slab):
+            for lo in range(0, total, slab):
                 self._check_abort()
                 p = jax.tree_util.tree_map(lambda l: l[lo : lo + slab], pts)
                 parts.append(self._jitted[key](p, s[lo : lo + slab]))
             out = jax.tree_util.tree_map(
                 lambda *ls: jnp.concatenate(ls, axis=0), *parts
-            )  # leaves (num_chunks, 1, L)
-            return jax.tree_util.tree_map(lambda l: l[:, 0], out)
+            )  # leaves (total, 1, L)
+            return jax.tree_util.tree_map(lambda l: l[:num_chunks, 0], out)
         outs = []
         for c in range(num_chunks):
             self._check_abort()

@@ -242,6 +242,13 @@ def msm_pair_buckets(
         slot = jnp.where(pk == SENT, nbuckets - 1, jnp.minimum(pk, nbuckets - 1))
         return jnp.zeros((nbuckets, 3 * L), U32).at[slot].set(pd, mode="drop")
 
+    # window scheduling: at small/mid n the whole accumulation runs with
+    # every window batched (vmap: W-wide sorts/gathers/adds, full VPU
+    # lanes); above the threshold the per-window working set (~n * 350 B *
+    # W) would crowd HBM, so windows run serially under lax.map (one
+    # compiled body either way)
+    if n <= (1 << 16):
+        return jax.vmap(window_body)(digits_t)  # (W, nbuckets, 3L)
     return jax.lax.map(window_body, digits_t)  # (W, nbuckets, 3L)
 
 
@@ -278,5 +285,10 @@ def msm_pair(
     def window_tail(b):
         return _triangular_sum(ops, _unfuse(b, L, 3), half)
 
-    partials = jax.lax.map(window_tail, buckets)
+    # vmap, not lax.map: the tail's working set is only (W, half, 3L), so
+    # all W windows' triangular reductions run batched (W*half lanes wide)
+    # instead of serially at half lanes — the small-n fixed-cost cut of the
+    # r4 VERDICT (the accumulation stage above keeps lax.map because its
+    # per-window sort+gather working set is n rows)
+    partials = jax.vmap(window_tail)(buckets)
     return horner_combine(ops, partials, w)

@@ -157,6 +157,16 @@ class FftKernel:
     multi-GPU chunking at fft.rs:211-246 (the multi-chip version lives in
     parallel/ntt_dist.py).  ``maybe_abort`` is polled between jitted calls
     (fft.rs:94-98 parity).
+
+    Kernel selection: like the reference, where ``radix_fft`` IS the product
+    entry point backed by the fast device kernel (fft.rs:139-247), large
+    transforms on an accelerator backend route to the Pallas driver
+    (ops/pallas/ntt.py), whose default is the MXU digit-matmul NTT
+    (ops/ntt_digit.py, the repo's headline kernel) — selectable via config
+    ``ntt_impl``.  The compile-light constant-geometry loop below remains
+    the CPU-backend / small-n path (XLA-CPU has no Pallas compiler; tiny
+    transforms don't amortize the digit tables).  Both paths are bit-exact
+    equal (tests/test_ntt_digit.py, tests/test_ntt.py).
     """
 
     def __init__(self, spec: FieldSpec, maybe_abort=None):
@@ -164,6 +174,26 @@ class FftKernel:
         self.f = field_ops(spec)
         self.maybe_abort = maybe_abort
         self._jitted = {}
+        self._pallas_k = None
+
+    def _pallas(self):
+        if self._pallas_k is None:
+            from .pallas.ntt import PallasFftKernel
+
+            self._pallas_k = PallasFftKernel(self.spec)
+        return self._pallas_k
+
+    def _route_pallas(self, log_n: int) -> bool:
+        """True when this transform should run the fast Pallas/MXU path:
+        accelerator backend, size past the table-amortization knee, and a
+        Pallas impl selected (config ``ntt_impl`` in {"digit", "fused"})."""
+        from ..config import get_config
+
+        return (
+            log_n > 9
+            and jax.default_backend() != "cpu"
+            and get_config().ntt_impl in ("digit", "fused")
+        )
 
     def _fn(self, log_n: int, inverse: bool):
         key = (log_n, inverse)
@@ -192,6 +222,8 @@ class FftKernel:
         if 1 << log_n != n:
             raise ValueError("FFT size must be a power of two")
         self._check_abort()
+        if self._route_pallas(log_n):
+            return self._pallas().radix_fft(x, inverse)
         fn, _ = self._fn(log_n, inverse)
         return fn(x)
 
@@ -206,6 +238,12 @@ class FftKernel:
         self._check_abort()
         n = xs.shape[1]
         log_n = int(n).bit_length() - 1
+        if self._route_pallas(log_n):
+            # one compiled Pallas program reused across the batch (the
+            # per-GPU round-robin of fft.rs:211-246, minus the host hops)
+            return jnp.stack(
+                [self._pallas().radix_fft(x, inverse) for x in xs]
+            )
         fn, _ = self._fn(log_n, inverse)
         return jax.vmap(fn)(xs)
 

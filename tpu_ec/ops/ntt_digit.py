@@ -815,3 +815,53 @@ def digit_ntt_planes(
         interpret=interpret,
     )  # (L16, n), < p
     return y16
+
+
+def digit_ntt_planes_batch(
+    spec: FieldSpec,
+    xpb: jnp.ndarray,  # (L16, n, B) u32 half-limb planes, Montgomery form
+    inverse: bool = False,
+    *,
+    leaf: int | None = None,
+    consts=None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """B independent length-n NTTs in one program, sharing the single-
+    transform constant tables: the recursion core (`_rec`) already threads
+    a trailing lane axis M through every leaf matmul and twiddle kernel
+    (digit_ntt_planes runs it with M=1), so a batch is the SAME dataflow
+    with M=B — the MXU contraction just gets wider.  This is what the
+    distributed NTT's local column/row DFT stages consume (a batch of n2
+    sub-transforms per shard, `parallel/ntt_dist.py`), replacing the
+    radix_fft_many whole-transform round-robin of the reference
+    (ec-gpu-proxy/src/fft.rs:211-246) inside each four-step stage.
+
+    Returns (L16, n, B) canonical Montgomery planes (< p).  For
+    ``inverse=True`` the n^{-1} scale is folded into the final-cleanup
+    constant per sub-transform (same contract as digit_ntt_planes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    L16, n, B = xpb.shape
+    log_n = int(n).bit_length() - 1
+    if 1 << log_n != n:
+        raise ValueError("FFT size must be a power of two")
+    if leaf is None:
+        from ..config import get_config
+
+        leaf = get_config().ntt_digit_leaf_log
+    leaf = min(leaf, log_n)
+    dom = get_digit_domain(spec, log_n, inverse, leaf)
+    if consts is None:
+        consts = digit_consts(dom)
+    dig = split_digits_rows(xpb.reshape(L16, n * B), dom.d_in)
+    out = _rec(dom, dig.reshape(dom.d_in, n, B), log_n, consts, interpret)
+    y16 = inter_twiddle(
+        spec,
+        out.reshape(out.shape[0], n * B),
+        jnp.asarray(dom.final_c.astype(np.uint32)),
+        canonical=True,
+        const_t=True,
+        interpret=interpret,
+    )
+    return y16.reshape(L16, n, B)

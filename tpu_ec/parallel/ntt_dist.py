@@ -103,28 +103,74 @@ def _get_dist_domain(spec: FieldSpec, log_n: int, mesh: Mesh, inverse: bool):
     return DistDomain(spec, log_n, mesh, inverse)
 
 
-def _dist_ntt_shard(dom: DistDomain, x_loc: jax.Array, tw_loc: jax.Array):
+def _use_digit_local(log_n1: int, log_n2: int) -> bool:
+    """Route BOTH local DFT stages to the MXU digit-matmul kernel
+    (ops/ntt_digit.py) — all-or-nothing so the inverse scale stays simple
+    (each digit sub-transform folds its own n_i^{-1}; the product is the
+    full n^{-1}, replacing the explicit final scale).  CPU backends keep
+    the compile-light Pease loop (no Pallas compiler there) unless the
+    ``ntt_digit_on_cpu`` test hatch forces interpret mode."""
+    from ..config import get_config
+
+    cfg = get_config()
+    if cfg.ntt_impl != "digit":
+        return False
+    if jax.default_backend() == "cpu":
+        # interpret mode: only under the test hatch (any size — tests use
+        # tiny shapes; real CPU runs never route here)
+        return cfg.ntt_digit_on_cpu
+    return min(log_n1, log_n2) > 9
+
+
+def _local_ntt_batch(dom: DistDomain, sub, digit, y: jax.Array, axis: int):
+    """Length-m DFTs along ``axis`` of y (the other axis is the batch),
+    via ONE batched digit-matmul program (digit=(leaf, consts, interpret))
+    or the vmapped Pease loop."""
+    if digit is None:
+        return jax.vmap(
+            lambda v: _ntt_impl(sub, v), in_axes=1 - axis, out_axes=1 - axis
+        )(y)
+    from ..ops.ntt_digit import digit_ntt_planes_batch
+
+    leaf, consts, interpret = digit
+    xpb = jnp.moveaxis(y, (2, axis), (0, 1))  # (L, m, B)
+    out = digit_ntt_planes_batch(
+        dom.spec, xpb, dom.inverse, leaf=leaf, consts=consts,
+        interpret=interpret,
+    )
+    return jnp.moveaxis(out, (0, 1), (2, axis))
+
+
+def _dist_ntt_shard(
+    dom: DistDomain, x_loc: jax.Array, tw_loc: jax.Array, digit=(None, None)
+):
     """shard_map body: x_loc is the (n1/d, n2, L) row-slice of A, tw_loc the
-    (n1, n2/d, L) column-slice of the twiddle table."""
+    (n1, n2/d, L) column-slice of the twiddle table.  ``digit`` carries the
+    per-stage (leaf, consts, interpret) tuples when the local DFTs run on
+    the digit-matmul kernel (None = Pease loop)."""
     f = dom.f
     n1, n2, d = dom.n1, dom.n2, dom.d
     AXIS = dom.mesh.axis_names[0]
+    d1, d2 = digit
 
     # a2a #1: shard columns instead of rows -> (n1, n2/d, L)
     y = jax.lax.all_to_all(x_loc, AXIS, split_axis=1, concat_axis=0, tiled=True)
     # column DFTs (length n1) over axis 0, batched over local columns
-    y = jax.vmap(lambda col: _ntt_impl(dom.dom1, col), in_axes=1, out_axes=1)(y)
+    y = _local_ntt_batch(dom, dom.dom1, d1, y, axis=0)
     # twiddle w^(k1*j2)
     y = f.mul(y, tw_loc)
     # a2a #2: shard rows again -> (n1/d, n2, L)
     y = jax.lax.all_to_all(y, AXIS, split_axis=0, concat_axis=1, tiled=True)
     # row DFTs (length n2) over axis 1
-    z = jax.vmap(lambda row: _ntt_impl(dom.dom2, row), in_axes=0, out_axes=0)(y)
+    z = _local_ntt_batch(dom, dom.dom2, d2, y, axis=1)
     # a2a #3 + local transpose: natural order, contiguous shard of X
     z = jax.lax.all_to_all(z, AXIS, split_axis=1, concat_axis=0, tiled=True)
     out = jnp.swapaxes(z, 0, 1)  # (n2/d, n1, L): X[k2_loc, k1]
     out = out.reshape(-1, f.L)
-    if dom.inverse:
+    if dom.inverse and d1 is None:
+        # Pease path: sub-transforms are unscaled, apply n^{-1} once here.
+        # Digit path: n1^{-1} and n2^{-1} are already folded into the two
+        # stages' final-cleanup constants (product = n^{-1}).
         out = f.mul(out, jnp.broadcast_to(jnp.asarray(dom.n_inv), out.shape))
     return out
 
@@ -150,23 +196,60 @@ class DistFftKernel:
             tw = dom.twiddles
             AXIS = self.mesh.axis_names[0]
 
+            log_n1 = dom.n1.bit_length() - 1
+            log_n2 = dom.n2.bit_length() - 1
+            digit_consts_args = None
+            leaves = (None, None)
+            if _use_digit_local(log_n1, log_n2):
+                # local DFT stages on the digit-matmul kernel: build both
+                # sub-domains' tables OUTSIDE the trace and feed them as
+                # runtime args (baked literals overflow compile-request
+                # limits at scale — same policy as ops/pallas/ntt.py)
+                from ..config import get_config
+                from ..ops.ntt_digit import digit_consts, get_digit_domain
+
+                lf = get_config().ntt_digit_leaf_log
+                leaves = (min(lf, log_n1), min(lf, log_n2))
+                dc = tuple(
+                    jax.tree_util.tree_map(
+                        jax.device_put,
+                        digit_consts(
+                            get_digit_domain(self.spec, ln, inverse, leaf)
+                        ),
+                    )
+                    for ln, leaf in ((log_n1, leaves[0]), (log_n2, leaves[1]))
+                )
+                digit_consts_args = dc
+            interp = jax.default_backend() == "cpu"
+
             # donate_argnums: the 2^26 input shard need not coexist with
             # the output (swap_device_pointer parity, params.rs:141-163)
             @functools.partial(
                 jax.jit, **({"donate_argnums": (0,)} if donate else {})
             )
-            def run(x):
+            def run_jit(x, dc):
                 x2 = x.reshape(dom.n1, dom.n2, self.f.L)
-                body = functools.partial(_dist_ntt_shard, dom)
+
+                def body(x_loc, tw_loc, dc_):
+                    digit = (
+                        (None, None)
+                        if dc_ is None
+                        else tuple(
+                            (leaves[i], dc_[i], interp) for i in (0, 1)
+                        )
+                    )
+                    return _dist_ntt_shard(dom, x_loc, tw_loc, digit)
+
                 out = shard_map(
                     body,
                     mesh=self.mesh,
-                    in_specs=(P(AXIS, None, None), P(None, AXIS, None)),
+                    in_specs=(P(AXIS, None, None), P(None, AXIS, None), P()),
                     out_specs=P(AXIS, None),
                     check_vma=False,
-                )(x2, tw)
+                )(x2, tw, dc)
                 return out.reshape(dom.n, self.f.L)
 
+            run = lambda x: run_jit(x, digit_consts_args)  # noqa: E731
             self._jitted[key] = (run, dom)
         return self._jitted[key]
 
