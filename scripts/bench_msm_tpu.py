@@ -57,11 +57,29 @@ def gen_inputs(n: int, seed: int):
     )
 
 
+OUT = _os.path.join(_os.path.dirname(__file__), "..", "BENCH_MSM_r05.json")
+
+
 def main(log_ns):
+    import json
+
     enable_compilation_cache()
     ops = point_ops(SPEC)
     kern = MultiexpKernel(SPEC)
     nc = native_curve(SPEC)
+    art = {
+        "metric": "bls12_381_g1_msm_throughput",
+        "unit": "points/s",
+        "hardware": "TPU v5e single chip (axon tunnel)",
+        "reference_shape": "ec-gpu-proxy/benches/multiexp.rs:19-53 (2^16-2^24)",
+        "engine": "pair (vmapped windows at n<=2^16, vmapped bucket tails; "
+        "chunked above calc_chunk_size)",
+        "correctness": "bit-exact vs native C++ Pippenger per size, in-run",
+        "timing": "3-iteration mean, forced-readback sync; compile excluded",
+        "results": [],
+    }
+    if _os.path.exists(OUT):
+        art = json.load(open(OUT))
     for log_n in log_ns:
         n = 1 << log_n
         bases, scalars, aff, s_u64 = gen_inputs(n, seed=log_n)
@@ -82,8 +100,24 @@ def main(log_ns):
         print(
             f"G1 MSM 2^{log_n}: {n/dt/1e6:.3f} M points/s  ({dt*1e3:.1f} ms; "
             f"first call {t_first:.1f}s; native CPU {t_cpu*1e3:.0f} ms; "
-            f"speedup vs 1-thread-pool CPU {t_cpu/dt:.1f}x)  bit-exact ok"
+            f"speedup vs 1-thread-pool CPU {t_cpu/dt:.1f}x)  bit-exact ok",
+            flush=True,
         )
+        art["results"] = [r for r in art["results"] if r["log_n"] != log_n] + [
+            {
+                "log_n": log_n,
+                "points_per_s": round(n / dt, 1),
+                "ms": round(dt * 1e3, 1),
+                "compile_s": round(t_first, 1),
+                "native_cpu_ms": round(t_cpu * 1e3, 1),
+                "speedup_vs_native_cpu": round(t_cpu / dt, 2),
+            }
+        ]
+        art["results"].sort(key=lambda r: r["log_n"])
+        # write after EVERY size so a killed sweep keeps its rows
+        with open(_os.path.abspath(OUT), "w") as fh:
+            json.dump(art, fh, indent=1)
+    print("wrote", _os.path.abspath(OUT), flush=True)
 
 
 if __name__ == "__main__":

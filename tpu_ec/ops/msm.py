@@ -474,6 +474,18 @@ class MultiexpKernel:
             acc = part if acc is None else self.ops.add(acc, part)
         return acc
 
+    def upload_bases(self, bases):
+        """Pin an affine base table on the device for reuse across calls —
+        the `upload_multiexp_bases` parity (ag-cuda-ec/src/multiexp.rs:11-33:
+        the AMT SRS is uploaded once and every batch launch reuses the
+        device pointer).  Under XLA any jnp array is already
+        device-resident; this makes the residency explicit (host numpy
+        input -> committed device buffers) so repeated multiexp /
+        multiple_multiexp calls never re-transfer the table."""
+        return jax.tree_util.tree_map(
+            lambda l: jax.device_put(jnp.asarray(l)), bases
+        )
+
     def multiple_multiexp(
         self,
         bases,
