@@ -19,6 +19,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
 from tpu_ec.curves.params import BLS12_381_G1
 from tpu_ec.ops.msm import MultiexpKernel
 from tpu_ec.utils.cache import enable_compilation_cache

@@ -1,6 +1,8 @@
 #!/bin/bash
-# Round-5 chip queue, part 2 — waits for part 1 to finish, then runs the
-# remaining chip jobs.  Same conventions as chip_queue_r05.sh.
+# Round-5 chip queue, part 2 (consolidated) — runs after part 1's marker.
+# Priority order: the r4 VERDICT's #1/#2 asks first (pipeline + batch MSM,
+# retried here with the window-vmap memory fix), then verification, then
+# the remaining artifact sweeps.
 cd /root/repo || exit 1
 mkdir -p .chiplogs
 Q=.chiplogs/queue.log
@@ -17,19 +19,30 @@ run() {
 while ! grep -q "queue complete" "$Q" 2>/dev/null; do sleep 30; done
 note "queue2 starting"
 
-# 8. full-layer end-to-end drive on the chip (verify recipe)
-run drive_verify 1800 python -u scripts/drive_verify.py
+# AMT batch MSM via pair, chunk-vmapped slab (window-serial) [VERDICT #2]
+run amt_pair2 7200 python -u scripts/bench_amt_tpu.py 10 10 pair
 
-# 9. 2^26 NTT: memory-budget analysis + timed run if it fits  [VERDICT #7]
-run ntt26 10800 python -u scripts/bench_ntt26_r05.py 26
+# commit pipeline at 2^16 on the digit-NTT library path       [VERDICT #1]
+run pipeline16b 7200 python -u scripts/evidence_tpu.py pipeline
 
-# 10. more pair autotune rows at sizes whose programs are now cached
-#     (2^16 compiled by the pipeline job; span=0 = the model window)
+# full-layer end-to-end drive on the chip (verify recipe)
+run drive_verify 2400 python -u scripts/drive_verify.py
+
+# pair autotune rows (span=0 = model window)                  [VERDICT #3]
 run autotune_pair2 10800 env TPU_EC_AUTOTUNE_SPAN=0 \
   python -u scripts/autotune_msm_tpu.py --method pair 16 18 22
 
-# 11. headline bench warm (also re-populates the digit-NTT compile cache
-#     for the driver's end-of-round bench.py run)
+# scan-engine real grid search (span=1)                       [VERDICT #3]
+run autotune_scan2 10800 env TPU_EC_AUTOTUNE_SPAN=1 \
+  python -u scripts/autotune_msm_tpu.py --method scan 14 16
+
+# 2^26 NTT memory-budget analysis + timed run if it fits      [VERDICT #7]
+run ntt26 10800 python -u scripts/bench_ntt26_r05.py 26
+
+# headline bench warm (re-populates the digit-NTT cache for the driver)
 run bench_headline 3600 python -u bench.py
+
+# fresh single-MSM sweep on the vectorized engine             [VERDICT #5]
+run msm_sweep 14400 python -u scripts/bench_msm_tpu.py 14 16 18 20 22
 
 note "queue2 complete"

@@ -168,8 +168,12 @@ def test_dist_ntt_digit_local_stages(mesh):
         )
 
 
+@pytest.mark.slow
 def test_dist_msm_pair_accum():
-    """The compute-optimal at-scale accumulation (`dist_msm_accum="pair"`,
+    """(slow: the pair-engine point-op instances compile ~6-19 min on
+    XLA-CPU — nightly job; measured green 2026-08-21.)
+
+    The compute-optimal at-scale accumulation (`dist_msm_accum="pair"`,
     SCALING.json est_efficiency 0.987 at d=16 vs 0.053 for the scan
     fallback) compiles and is bit-exact on a d=2 virtual mesh — the
     library path a real multi-chip TPU deployment runs

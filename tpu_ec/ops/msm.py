@@ -530,7 +530,16 @@ class MultiexpKernel:
                     method
                 ](chunk)
             )
-            body_fn = {"pair": msm_pair, "scan": msm_scan}[method]
+            import functools as _ft
+
+            # pair under the chunk-vmapped slab: windows stay lax.map-serial
+            # (the chunk axis already fills the vector lanes; window-vmap on
+            # top multiplies the live set ~W-fold — a 64-chunk batch tried
+            # to reserve 32 GiB of HBM at compile)
+            body_fn = {
+                "pair": _ft.partial(msm_pair, window_vmap=False),
+                "scan": msm_scan,
+            }[method]
             # slab the batch: ONE compiled program reused over
             # ceil(num_chunks/slab) dispatches.  A whole 2^10-chunk batch
             # as a single program executes for minutes on-device, which the

@@ -164,6 +164,7 @@ def msm_pair_buckets(
     scalars: jnp.ndarray,  # (n, Ls+1) plain-int limbs, zero-padded one limb
     *,
     window_size: int,
+    window_vmap: bool | None = None,
 ):
     """Bucket-accumulation stage only: returns a fused (W, half+2, 3L)
     uint32 array of Jacobian buckets (slot 0 = digit-0 dummy, slot half+1 =
@@ -244,10 +245,16 @@ def msm_pair_buckets(
 
     # window scheduling: at small/mid n the whole accumulation runs with
     # every window batched (vmap: W-wide sorts/gathers/adds, full VPU
-    # lanes); above the threshold the per-window working set (~n * 350 B *
-    # W) would crowd HBM, so windows run serially under lax.map (one
-    # compiled body either way)
-    if n <= (1 << 16):
+    # lanes); above the cap the live set would crowd HBM, so windows run
+    # serially under lax.map.  Cap calibration on v5e: a single
+    # window-vmapped 2^16 MSM compiles and runs (the 2^16 commit pipeline,
+    # BENCH_PIPELINE_r05.json), but a 64-chunk batch with windows ALSO
+    # vmapped tried to reserve 32 GiB at compile — the batch driver
+    # therefore passes window_vmap=False (its chunk axis already fills the
+    # lanes) and the single-MSM cap stays at 2^16.
+    if window_vmap is None:
+        window_vmap = n <= (1 << 16)
+    if window_vmap:
         return jax.vmap(window_body)(digits_t)  # (W, nbuckets, 3L)
     return jax.lax.map(window_body, digits_t)  # (W, nbuckets, 3L)
 
@@ -274,13 +281,16 @@ def msm_pair(
     scalars: jnp.ndarray,
     *,
     window_size: int,
+    window_vmap: bool | None = None,
 ):
     """One full MSM -> Jacobian point batch shape (1,).  Trace-time body,
     jit via MultiexpKernel.  G1 only; G2 towers use msm_sorted."""
     w = window_size
     half = 1 << (w - 1)
     L = ops.L
-    buckets = msm_pair_buckets(ops, points, scalars, window_size=w)
+    buckets = msm_pair_buckets(
+        ops, points, scalars, window_size=w, window_vmap=window_vmap
+    )
 
     def window_tail(b):
         return _triangular_sum(ops, _unfuse(b, L, 3), half)
