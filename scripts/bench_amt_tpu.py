@@ -66,10 +66,17 @@ def main(log_chunk: int, log_nchunks: int, method: str = "pair"):
     jac_hl = [np.asarray(jax.device_get(l)) for l in jax.tree_util.tree_leaves(out)]
     jac_u64 = np.concatenate([nc.fq.from_halflimbs(l) for l in jac_hl], axis=1)
     got = nc.affine_to_points(nc.to_affine(jac_u64))
+    # the oracle pass doubles as the native-CPU batch baseline (every call
+    # uses the full thread pool — the ark CPU-MSM column of the reference
+    # bench, ag-cuda-ec/benches/multiexp.rs:56-61)
+    t0 = time.time()
+    want_jacs = [
+        nc.msm(pts_np[c * chunk : (c + 1) * chunk], ks_np[c * chunk : (c + 1) * chunk])
+        for c in range(nchunks)
+    ]
+    cpu_batch_s = time.time() - t0
     for c in range(nchunks):
-        sl = slice(c * chunk, (c + 1) * chunk)
-        want_jac = nc.msm(pts_np[sl], ks_np[sl])
-        want = nc.affine_to_points(nc.to_affine(want_jac[None, :]))[0]
+        want = nc.affine_to_points(nc.to_affine(want_jacs[c][None, :]))[0]
         assert got[c] == want, f"chunk {c} mismatch"
 
     iters = 3 if nchunks <= 64 else 1  # the full shape is minutes of device time
@@ -88,6 +95,9 @@ def main(log_chunk: int, log_nchunks: int, method: str = "pair"):
         "correctness": "every chunk bit-exact vs native C++ Pippenger, asserted in-run",
         "points_per_s": round(n / dt, 1),
         "ms_per_batch": round(dt * 1e3, 1),
+        "native_cpu_batch_s": round(cpu_batch_s, 1),
+        "native_cpu_points_per_s": round(n / cpu_batch_s, 1),
+        "speedup_vs_native_cpu": round(cpu_batch_s / dt, 2),
         "compile_s": round(compile_s, 1),
         "timing": f"{iters}-iteration mean, forced-readback sync; compile excluded",
         # matches multiple_multiexp's slabbing exactly: slab = min(cfg, n),

@@ -93,7 +93,7 @@ def main(log_ns):
         "impl": "EcFftKernel (tpu_ec/ops/ec_fft.py): Pease stages, 255-step double-and-add twiddle",
         "hardware": "TPU v5e single chip (axon tunnel)",
         "reference_shape": "ag-cuda-ec/benches/ec_fft.rs:24-58 (degrees 2^0-2^11 vs ark_poly)",
-        "timing": "3-iteration mean, forced-readback sync (utils/measure.py); compile excluded",
+        "timing": "3-iteration mean after 1 warmup, forced-readback sync (utils/measure.py); compile excluded.  The warmup absorbs the tunnel re-dispatch latency that made the r4 sweep non-monotone at 2^6 (fixed ~1s first-timed-call cost dominating a sub-ms transform).",
         "results": results,
     }
     with open(_os.path.abspath(OUT), "w") as fh:
