@@ -100,9 +100,24 @@ def main(log_n: int):
 
     rows = []
     best = None
+
+    def write_partial():
+        art = {
+            "metric": f"bls12_381_fr_ntt_2^{log_n}",
+            "unit": "elements/s",
+            "hardware": "TPU v5e single chip (axon tunnel), 16 GiB HBM",
+            "correctness": "leaf-9 plan bit-exact vs bigint oracle at 2^12 in-run",
+            "memory_analysis": rows,
+            "timed_run": None,
+            "note": "partial (run in progress or cut)",
+        }
+        with open(_os.path.abspath(OUT), "w") as fh:
+            json.dump(art, fh, indent=1)
+
     for leaf in (9, 8):
         row, compiled, xp, consts, n = mem_row(leaf, log_n)
         rows.append(row)
+        write_partial()  # a wall-clock cut still keeps the byte accounting
         if best is None or row["peak_mib"] < best[0]["peak_mib"]:
             best = (row, compiled, xp, consts, n)
         else:

@@ -227,18 +227,21 @@ def calc_chunk_size(spec: CurveSpec, hbm_budget_bytes: int | None = None) -> int
     """Max points per on-device MSM launch, bounded by device memory
     (the `calc_chunk_size` analog, ec-gpu-proxy/src/multiexp.rs:71-93).
 
-    The sorted engine's peak live footprint is ~12 coordinate-sized arrays
-    of length n (inputs + sorted gathers + one halving generation + scan
-    temporaries), i.e. ~12 * n * L * 4 bytes; we keep the same 20% head-room
-    the reference reserves (multiexp.rs:23-24)."""
+    Measured on v5e (r5, .chiplogs/msm24.log): a 2^23-point pair chunk's
+    live working set is ~13.2 GiB = ~17 coordinate-sized arrays of length
+    n (sorted gathers + halving generations + spill/scan temporaries), on
+    top of which the WHOLE oversized input stays device-resident while
+    chunks run (~230 B/point at 2^24 = 3.7 GiB).  The budget fraction is
+    therefore 0.6 (not the reference's 0.8, multiexp.rs:23-24) so chunk +
+    resident inputs + headroom fit together."""
     from ..config import get_config
     from ..curves.point import point_ops as _po
 
     if hbm_budget_bytes is None:
         hbm_budget_bytes = get_config().msm_hbm_budget_bytes
     L = _po(spec).fq.L * spec.ext
-    per_point = 12 * L * 4
-    n = int(0.8 * hbm_budget_bytes) // per_point
+    per_point = 17 * L * 4
+    n = int(0.6 * hbm_budget_bytes) // per_point
     return max(1 << 12, 1 << (n.bit_length() - 1))  # round down to pow2
 
 
