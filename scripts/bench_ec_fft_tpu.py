@@ -87,8 +87,24 @@ def main(log_ns):
         results.append(row)
         print(results[-1], flush=True)
 
+    # merge with prior rows (re-sweeps at single sizes keep the rest);
+    # a re-measured size replaces its old row and records the gate used
+    prior = []
+    if _os.path.exists(_os.path.abspath(OUT)):
+        try:
+            prior = json.load(open(_os.path.abspath(OUT))).get("results", [])
+        except Exception:
+            prior = []
+    done = {r["log_n"] for r in results}
+    results = sorted(
+        results + [r for r in prior if r["log_n"] not in done],
+        key=lambda r: r["log_n"],
+    )
+    from tpu_ec.config import get_config as _gc
+
     artifact = {
         "metric": "bn254_g1_ec_fft_throughput",
+        "pallas_ec_min": _gc().pallas_ec_min,
         "unit": "points/s",
         "impl": "EcFftKernel (tpu_ec/ops/ec_fft.py): Pease stages, 255-step double-and-add twiddle",
         "hardware": "TPU v5e single chip (axon tunnel)",

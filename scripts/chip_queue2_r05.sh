@@ -27,6 +27,9 @@ run pipeline16b 3600 python -u scripts/evidence_tpu.py pipeline
 # full-layer end-to-end drive on the chip (verify recipe)
 run drive_verify 2400 python -u scripts/drive_verify.py
 
+# EC-FFT re-sweep with the recalibrated Pallas gate (256)    [VERDICT #8]
+run ecfft_lowmin 7200 python -u scripts/bench_ec_fft_tpu.py 7 8 9 10
+
 # pair autotune rows at model windows (cached by design)     [VERDICT #3]
 run autotune_pair2 10800 env TPU_EC_AUTOTUNE_SPAN=0 \
   python -u scripts/autotune_msm_tpu.py --method pair 16 18 22

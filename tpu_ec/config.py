@@ -75,8 +75,12 @@ class Config:
     # r4 default, ~2.4x the fused path at 2^20) or "fused" (VPU multi-stage
     # Pallas, ops/pallas/ntt_fused.py)
     ntt_impl: str = "digit"
-    # min batch lanes before EC point ops route to the fused Pallas kernels
-    pallas_ec_min: int = 1024
+    # min batch lanes before EC point ops route to the fused Pallas kernels.
+    # Measured r5 (BENCH_ECFFT_r05.json): the EC-FFT jumps 22x the moment
+    # its stage batches cross this gate (2^10 -> 2^11 sweep cliff), so the
+    # old 1024 default left 2^7-2^10 transforms ~10x slow; 256 keeps the
+    # fused kernels engaged down to where dispatch overhead actually wins
+    pallas_ec_min: int = 256
     # MSM window bits; None = autotuned table / analytic model
     msm_window: int | None = None
     # HBM budget for MSM chunk sizing (multiexp.rs:71-93 parity)
@@ -123,7 +127,7 @@ class Config:
             ntt_digit_leaf_log=_env_int("TPU_EC_NTT_DIGIT_LEAF_LOG", 8) or 8,
             ntt_impl=os.environ.get("TPU_EC_NTT_IMPL", "digit"),
             # NOTE: no `or default` here — an explicit 0 means "disable"
-            pallas_ec_min=_env_int("TPU_EC_PALLAS_EC_MIN", 1024),
+            pallas_ec_min=_env_int("TPU_EC_PALLAS_EC_MIN", 256),
             msm_window=_env_int("TPU_EC_MSM_WINDOW", None),
             msm_hbm_budget_bytes=_env_int("TPU_EC_HBM_BUDGET", 12 * (1 << 30))
             or 12 * (1 << 30),
