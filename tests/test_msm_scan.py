@@ -199,3 +199,36 @@ def test_tuned_window_engine_keyed(tmp_path, monkeypatch):
         assert autotune.tuned_window("bn254_g1", "scan", 1 << 14) is None
     finally:
         autotune._table.cache_clear()
+
+
+def test_tuned_windows_table_committed():
+    """The measured on-chip tuning table ships with the library (the
+    ag-cuda-ec/benches/amt.rs:37-57 grid search, persisted): the file
+    exists, follows the curve -> engine -> log_n -> window schema, and
+    tuned_window returns its measured values."""
+    import json
+    import os
+
+    from tpu_ec.ops import autotune
+
+    assert os.path.exists(autotune._TABLE_PATH), "tuned_windows.json missing"
+    tab = json.load(open(autotune._TABLE_PATH))
+    assert tab, "tuned_windows.json is empty"
+    engines = {"pair", "scan", "sorted", "coz"}
+    for curve, by_engine in tab.items():
+        assert isinstance(curve, str) and curve
+        for engine, by_log in by_engine.items():
+            assert engine in engines, f"unknown engine key {engine!r}"
+            assert by_log, f"{curve}/{engine} has no measurements"
+            for log_n, w in by_log.items():
+                assert log_n.isdigit() and 2 <= int(w) <= 16
+    # the committed measurements are live through the lookup API
+    autotune._table.cache_clear()
+    try:
+        curve = next(iter(tab))
+        engine = next(iter(tab[curve]))
+        log_n = next(iter(tab[curve][engine]))
+        got = autotune.tuned_window(curve, engine, 1 << int(log_n))
+        assert got == int(tab[curve][engine][log_n])
+    finally:
+        autotune._table.cache_clear()
