@@ -299,6 +299,14 @@ def msm_pair(
     # all W windows' triangular reductions run batched (W*half lanes wide)
     # instead of serially at half lanes — the small-n fixed-cost cut of the
     # r4 VERDICT (the accumulation stage above keeps lax.map because its
-    # per-window sort+gather working set is n rows)
-    partials = jax.vmap(window_tail)(buckets)
+    # per-window sort+gather working set is n rows).  EXCEPT under the
+    # chunk-vmapped batch driver (window_vmap=False): a tail vmap nested
+    # inside the chunk vmap makes the point ops see only the innermost
+    # (half,)-row batch — below the Pallas gate — so the generic jnp mul's
+    # (chunks, W, half, L, L) outer-product temps blow up at 5.3x TPU
+    # padding (measured 21 GiB at slab 64, .chiplogs/amt_pair2.log).
+    if window_vmap is False:
+        partials = jax.lax.map(window_tail, buckets)
+    else:
+        partials = jax.vmap(window_tail)(buckets)
     return horner_combine(ops, partials, w)
