@@ -81,3 +81,29 @@ def test_non_pow2_padding():
     pts = oracle.random_points(spec, n, seed=87)
     ks = oracle.random_scalars(spec, n, seed=88)
     run_case(spec, pts, ks, window_size=4)
+
+
+def test_flat_batch_vs_oracle():
+    """The flat one-sort batch engine (ops/msm_batch.py): chunk ids fold
+    into the bucket sort key so the whole batch shares one sort + gather +
+    halving cascade per window (the single-launch grid of
+    ag-build/cl/multiexp.cl:217-263).  Non-pow2 chunk count (slab padding),
+    padded rows, zero/small scalars, and per-chunk bit-exactness."""
+    spec = BN254_G1
+    ops = point_ops(spec)
+    n, nch = 24, 3
+    pts = oracle.random_points(spec, n, seed=95)
+    ks = list(oracle.random_scalars(spec, n - 4, seed=96)) + [0, 0, 1, 2]
+    kern = MultiexpKernel(spec)
+    out = kern.multiple_multiexp(
+        ops.from_affine_ints(pts),
+        ops.scalars_to_limbs(ks),
+        nch,
+        window_size=4,
+        method="pair",
+    )
+    assert any(k[0] == "pair_batch" and k[1] == "flat" for k in kern._jitted)
+    got = ops.to_affine_ints(ops.to_affine(out))
+    c = n // nch
+    for i in range(nch):
+        assert got[i] == oracle.msm(spec, pts[i * c : (i + 1) * c], ks[i * c : (i + 1) * c])

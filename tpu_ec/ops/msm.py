@@ -522,7 +522,7 @@ class MultiexpKernel:
             )
         if method in ("pair", "scan"):
             from .autotune import tuned_window
-            from .msm_pair import default_window_size_pair, msm_pair
+            from .msm_pair import default_window_size_pair
             from .msm_scan import default_window_size_scan, msm_scan
 
             self._check_abort()
@@ -533,16 +533,6 @@ class MultiexpKernel:
                     method
                 ](chunk)
             )
-            import functools as _ft
-
-            # pair under the chunk-vmapped slab: windows stay lax.map-serial
-            # (the chunk axis already fills the vector lanes; window-vmap on
-            # top multiplies the live set ~W-fold — a 64-chunk batch tried
-            # to reserve 32 GiB of HBM at compile)
-            body_fn = {
-                "pair": _ft.partial(msm_pair, window_vmap=False),
-                "scan": msm_scan,
-            }[method]
             # slab the batch: ONE compiled program reused over
             # ceil(num_chunks/slab) dispatches.  A whole 2^10-chunk batch
             # as a single program executes for minutes on-device, which the
@@ -557,26 +547,45 @@ class MultiexpKernel:
             # gcd-shrunk slabs, no per-chunk dispatch storm on non-divisible
             # shapes, no second compiled shape for the tail
             pad_chunks = (-num_chunks) % slab
-            # chunk-vectorized slab: vmap batches every sort/gather/point-add
-            # across the slab's chunks (full VPU lanes — the lax.map form
-            # runs chunks serially at batch-1 point ops, which is why the r4
-            # AMT number was 37x off the single-MSM pace).  lax.map remains
-            # for big chunks where the vmapped intermediates wouldn't fit.
-            use_vmap = slab * chunk <= (1 << 22)
-            key = (f"{method}_batch", "vmap" if use_vmap else "map", slab, chunk, w)
+            # per-slab engine:
+            #  - pair -> the FLAT one-sort engine: the whole slab is one
+            #    bucket space per window (chunk id folded into the sort
+            #    key), so every sort/gather/point-add amortizes at the
+            #    large-n rate.  Chunk-serial lax.map (r4: 37x off) and
+            #    chunk-vmap (r5: batched gathers 4x worse still, or 32 GiB
+            #    compile OOM with windows vmapped too) both measured out —
+            #    see ops/msm_batch.py.
+            #  - scan -> chunk-vmapped scan body (compile-light; the CPU
+            #    and G2 path) with lax.map above the memory threshold.
+            use_vmap = method == "scan" and slab * chunk <= (1 << 22)
+            mode = "flat" if method == "pair" else ("vmap" if use_vmap else "map")
+            key = (f"{method}_batch", mode, slab, chunk, w)
             if key not in self._jitted:
                 ops = self.ops
 
-                @jax.jit
-                def run(points, scalars_):
-                    def body(b, s):
-                        return body_fn(ops, b, s, window_size=w)
+                if method == "pair":
+                    from .msm_batch import msm_batch_flat
 
-                    if use_vmap:
-                        return jax.vmap(body)(points, scalars_)
-                    return jax.lax.map(
-                        lambda a: body(a[0], a[1]), (points, scalars_)
-                    )
+                    @jax.jit
+                    def run(points, scalars_):
+                        return msm_batch_flat(
+                            ops, points, scalars_, window_size=w
+                        )  # leaves (slab, L)
+
+                else:
+
+                    @jax.jit
+                    def run(points, scalars_):
+                        def body(b, s):
+                            return msm_scan(ops, b, s, window_size=w)
+
+                        if use_vmap:
+                            out = jax.vmap(body)(points, scalars_)
+                        else:
+                            out = jax.lax.map(
+                                lambda a: body(a[0], a[1]), (points, scalars_)
+                            )
+                        return jax.tree_util.tree_map(lambda l: l[:, 0], out)
 
                 self._jitted[key] = run
             pts = jax.tree_util.tree_map(
@@ -609,8 +618,8 @@ class MultiexpKernel:
                 parts.append(self._jitted[key](p, s[lo : lo + slab]))
             out = jax.tree_util.tree_map(
                 lambda *ls: jnp.concatenate(ls, axis=0), *parts
-            )  # leaves (total, 1, L)
-            return jax.tree_util.tree_map(lambda l: l[:num_chunks, 0], out)
+            )  # leaves (total, L)
+            return jax.tree_util.tree_map(lambda l: l[:num_chunks], out)
         outs = []
         for c in range(num_chunks):
             self._check_abort()
