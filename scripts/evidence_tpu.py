@@ -146,4 +146,4 @@ if __name__ == "__main__":
     if what in ("donation", "all"):
         donation()
     if what in ("pipeline", "all"):
-        pipeline()
+        pipeline(int(sys.argv[2]) if len(sys.argv) > 2 else 16)
